@@ -1,0 +1,87 @@
+"""Hashing expression helpers: seeded md5, MinHash signatures, SimHash.
+
+Design note — portability over cleverness: signature components are
+**lexicographic minima of seeded md5 hex strings**. md5 is uniform, so
+``min(md5(seed || shingle))`` is a valid permutation-min estimator for
+Jaccard similarity, exactly like integer MinHash, but it is expressible
+identically in any SQL engine (the DuckDB oracles replay it verbatim).
+No bit twiddling, no engine-specific hash. Spark evaluates the whole
+thing inside codegen.
+
+SimHash packs sign-sums of per-token hash bits into a BIGINT; bits are
+drawn from md5 hex digits so the oracle can reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def md5_seeded(col: Column, seed: int | str) -> Column:
+    """Seeded md5 hex digest: md5('<seed>:' || col)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), col))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature of an array<string> shingle column: for each
+    seed i, the lexicographic min over shingles of md5('i:' || s).
+
+    Returned as ``num_hashes`` separate Column expressions (callers
+    alias them mh0..mhK). Empty shingle arrays produce nulls — callers
+    should filter docs with no shingles first.
+
+    NB: the seed must be bound via a closure factory, not a lambda
+    default arg — pyspark passes the array index to any 2-parameter
+    transform() lambda, silently overriding defaults.
+    """
+
+    def seeded_min(i: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: md5_seeded(s, i)))
+
+    return [seeded_min(i) for i in range(num_hashes)]
+
+
+def band_key(signature_cols: list[Column], band: int, rows_per_band: int) -> Column:
+    """LSH band key: md5 of the concatenated signature slice for this
+    band (docs sharing any band key are near-dup candidates)."""
+    lo = band * rows_per_band
+    parts = signature_cols[lo : lo + rows_per_band]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def hex_digit_value(ch: Column) -> Column:
+    """Value 0..15 of one lowercase hex digit character."""
+    return F.instr(F.lit(HEX_DIGITS), ch) - 1
+
+
+def simhash32(tokens_col: Column) -> Column:
+    """32-bit SimHash of an array<string> token column, as BIGINT.
+
+    For bit j (0..31): draw the bit from hex digit j//4 of md5(token)
+    (bit j%4 of the digit's value); sum +1/-1 contributions over all
+    tokens; bit j of the result is 1 when the sum is positive. Packed
+    as sum(bit_j << j).
+
+    Expressed with aggregate() over the token array so the whole hash
+    is one codegen'd expression per row — no explode, no shuffle.
+    """
+    def bit_of(tok: Column, j: int) -> Column:
+        digit = hex_digit_value(F.substring(F.md5(tok), j // 4 + 1, 1))
+        return F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
+
+    def merge_for(j: int):
+        # Closure factory: a 3-parameter lambda would make pyspark pass
+        # the array index as the third argument (see minhash_signature).
+        return lambda acc, tok: acc + (bit_of(tok, j) * 2 - 1)
+
+    packed = None
+    for j in range(32):
+        # Sum of (2*bit - 1) over tokens for this bit position.
+        contrib = F.aggregate(tokens_col, F.lit(0), merge_for(j))
+        bit = F.when(contrib > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = bit * F.lit(1 << j).cast("bigint")
+        packed = term if packed is None else packed + term
+    return packed

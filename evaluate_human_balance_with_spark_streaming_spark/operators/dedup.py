@@ -1,0 +1,355 @@
+"""Deduplication operators: exact, fingerprint, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design. Exact/fingerprint dedup is a hash aggregate (map-side
+partial combine, one shuffle on the hash — never on the full text).
+Near-dup never does an all-pairs join: candidates come from LSH band
+buckets (MinHash) or blocking keys, so the join fans out only within
+buckets; at 100 TB the band-bucket join is a standard shuffle join on
+short hash keys, salt-able if a bucket is hot. Verification (exact
+Jaccard) runs only on candidate pairs.
+
+Every operator is deterministic (seeded md5 permutations — see
+functions/hashing.py), which is what lets the DuckDB oracles replay the
+*entire* pipeline, LSH candidate generation included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import band_key, minhash_signature, simhash32
+from ..functions.text import fingerprint_md5, normalize_text, tokens, word_shingles
+from ..plans.registry import register
+from ..sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# Generic operators (DataFrame API)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest id per group.
+
+    Aggregates on the md5 of the normalized text, not the text itself,
+    so the shuffle moves 16-byte keys instead of documents.
+    """
+    return (
+        df.select(
+            F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Append MinHash signature columns mh0..mh{k-1} (docs with no
+    shingles are dropped — they have no similarity signal)."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    out = df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0)
+    sig = minhash_signature(F.col("_shingles"), num_hashes)
+    for i, c in enumerate(sig):
+        out = out.withColumn(f"mh{i}", c)
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verify.
+
+    1. signature: k seeded-md5 min-hashes per doc (one pass, no shuffle);
+    2. banding: k/bands hashes per band → band key; explode to
+       (band_idx, band_key) — docs sharing any band key are candidates;
+    3. candidate join *within band buckets only*;
+    4. verify: exact Jaccard on distinct word shingles ≥ threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(df, text_col, num_hashes, shingle_n)
+    sig_cols = [F.col(f"mh{i}") for i in range(num_hashes)]
+    banded = sig.select(
+        F.col(id_col),
+        F.col("_shingles").alias("shingles"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_key(sig_cols, b, rows_per_band).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "shingles", "bb.band", "bb.bkey")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        "band",
+        "bkey",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: all pairs *within a blocking key*
+    (e.g. source/domain/length-band), never across the whole corpus.
+    The complement to LSH when a natural blocking key exists."""
+    sh = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col(id_col).alias("id_a"), "blk", F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), "blk", F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
+    """Append a 32-bit SimHash column (bigint)."""
+    return df.withColumn("simhash", simhash32(tokens(F.col(text_col))))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks (cluster/label/IVF
+    cell). The blocked join keeps the candidate count linear-ish in
+    block size; at scale the block assignment is the IVF coarse
+    quantizer (operators/similarity.py)."""
+    from ..functions.vectors import cosine_similarity
+
+    v = df.select(
+        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checked queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments replaying functions/text.py + hashing.py.
+_SQL_SHINGLES3 = (
+    "list_distinct([array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, len(w) - 1)])"
+)
+_SQL_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: group by normalized-text fingerprint,
+    keep min doc_id + copy count."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+            FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+            WHERE len(w) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   [list_aggregate([md5(CAST(k AS VARCHAR) || ':' || s) for s in shingles], 'min')
+                    for k in range(0, 16)] AS mh
+            FROM sh
+        ),
+        banded AS (
+            SELECT doc_id, b.band,
+                   md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS bkey
+            FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+        ) WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "lsh"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs over documents,
+    verified at exact 3-shingle Jaccard ≥ 0.5. The oracle replays the
+    full pipeline — signature, banding, candidate join, verify."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        contribs AS (
+            SELECT doc_id, j,
+                   SUM(CASE WHEN
+                         ((strpos('0123456789abcdef',
+                                  substr(md5(tok), (j // 4) + 1, 1)) - 1)
+                          >> (j % 4)) & 1 = 1
+                       THEN 1 ELSE -1 END) AS contrib
+            FROM toks, (SELECT unnest(range(0, 32)) AS j) bits
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM contribs
+        GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bigint) — the per-doc signature used
+    for hamming-distance bucketing at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return with_simhash(d, "text").select("doc_id", "simhash")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, source AS blk,
+                   list_distinct([array_to_string(w[i:i+1], ' ')
+                                  for i in range(1, len(w))]) AS s
+            FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 2
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.3
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact bigram-Jaccard pairs (blocking key = source)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        "source",
+        shingle_n=2,
+        threshold=0.3,
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.4
+    """,
+    tags=("dedup", "embedding"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (the coarse
+    cluster id), cosine ≥ 0.4."""
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        "label",
+        threshold=0.4,
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies, same result contract (query_id, neighbor_id, cosine):
+
+- ``brute_force_topk`` — exact: cross-join queries × corpus, cosine via
+  JVM higher-order functions, per-query top-k with row_number. The
+  query set is always the broadcast side; the corpus streams through,
+  so the cost is one corpus scan per batch of queries. Correct at any
+  scale, bounded by |Q| × |corpus| dot products.
+- ``ivf_topk`` — the scale path: a coarse quantizer (centroids per
+  partition cell — here per label; in production, k-means trained
+  offline) assigns every corpus vector to a cell; each query probes
+  its nearest cell(s) only. Candidate count drops by ~|cells|×, the
+  join is cell-key equi-join (shuffle on short keys), and recall is
+  tunable via n_probe.
+
+All math is double-precision sequential folds (functions/vectors.py),
+so the DuckDB oracle reproduces results bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+from ..plans.registry import register
+from ..sources.testdata import load_table
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``queries`` must carry (id_col, vec_col); self-matches (same id)
+    are excluded. Deterministic: ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: centroids = per-cell mean vectors; each query is
+    assigned to its nearest centroid (n_probe=1) and searched only
+    within that cell. The centroid table is tiny → broadcast twice
+    (assignment + probe); the candidate join is an equi-join on cell.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    # Per-dimension mean via aggregate-of-arrays: zip_with running sums.
+    dim = len(corpus.select(vec_col).first()[0])
+    centroids = c.groupBy("cell").agg(
+        F.array(
+            *[F.avg(F.col("cv").getItem(i)).alias(f"d{i}") for i in range(dim)]
+        ).alias("centroid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    # Assign each query to its nearest centroid (deterministic tiebreak).
+    assigned = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine_similarity(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("csim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") == 1)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        c.join(F.broadcast(assigned), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id % 101 = 0
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS cosine
+            FROM q, embeddings c
+            WHERE q.query_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann"),
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for every 101st vector (the
+    deterministic query sample) against the full embeddings corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id AS neighbor_id, label AS cell, embedding::DOUBLE[] AS cv
+            FROM embeddings
+        ),
+        dim_means AS (
+            SELECT cell, i, AVG(cv[i]) AS m
+            FROM c, (SELECT unnest(range(1, 65)) AS i) idx
+            GROUP BY cell, i
+        ),
+        centroids AS (
+            SELECT cell, list(m ORDER BY i) AS centroid
+            FROM dim_means
+            GROUP BY cell
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id % 101 = 0
+        ),
+        assigned AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, ct.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv, ct.centroid) DESC,
+                                    ct.cell ASC) AS crank
+                FROM q, centroids ct
+            ) WHERE crank = 1
+        ),
+        scored AS (
+            SELECT a.query_id, c.cell, c.neighbor_id,
+                   ROUND(list_cosine_similarity(a.qv, c.cv), 6) AS cosine
+            FROM c JOIN assigned a ON c.cell = a.cell
+            WHERE a.query_id <> c.neighbor_id
+        )
+        SELECT query_id, cell, neighbor_id, cosine, rank FROM (
+            SELECT query_id, cell, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed top-5: per-label centroids as the coarse quantizer,
+    n_probe=1 — the bounded-candidate scale path for ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return ivf_topk(emb, queries, "embedding", "vec_id", "label", k=5)

@@ -1,0 +1,214 @@
+"""Text-analysis operators for training-data curation: token counting,
+quality scoring, language ID, fingerprinting.
+
+All pure built-in expressions (split/regexp/aggregate/size) — per-row,
+no shuffle, scan-bound; exactly what you want for a 100 TB text sweep.
+A BPE-ish subword token estimate is included alongside whitespace
+tokens (regex word/number/punct segmentation, the standard pre-tokenizer
+shape) so downstream size budgeting has a tokenizer-independent signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, normalize_text, tokens
+from ..plans.registry import register
+from ..sources.testdata import load_table
+
+# English stopword sample used by the n-gram language heuristic. Kept
+# deliberately tiny and hard-coded so the oracle can embed the same list.
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_SQL_STOPWORDS = "['" + "','".join(_EN_STOPWORDS) + "']"
+
+
+def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Append token/char/quality columns to a documents DataFrame."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    punct_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]-]", "")
+    )
+    # BPE-ish segmentation: words / numbers / single non-space symbols.
+    bpe_tokens = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.col(text_col),
+                    r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])",
+                    "$1\x01",
+                ),
+                "\x01",
+            ),
+            lambda t: F.trim(t) != "",
+        )
+    )
+    avg_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_computed", n_chars)
+        .withColumn("bpe_tokens", bpe_tokens)
+        .withColumn(
+            "alpha_ratio",
+            F.round(alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(punct_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn("avg_word_len", F.round(avg_word_len, 6))
+    )
+
+
+def with_stopword_ratio(df: DataFrame, text_col: str) -> DataFrame:
+    toks = tokens(F.lower(F.col(text_col)))
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return df.withColumn(
+        "stopword_ratio",
+        F.round(
+            hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
+        ),
+    ).withColumn("distinct_stopwords", n_stop)
+
+
+@register(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_computed
+        FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        WITH stats AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                   length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               ROUND(alpha::DOUBLE / greatest(n_chars, 1), 6) AS alpha_ratio,
+               ROUND(nonspace::DOUBLE / n_tokens, 6) AS avg_word_len,
+               ROUND(
+                   least(n_tokens, 100) / 100.0 * 0.5
+                   + (alpha::DOUBLE / greatest(n_chars, 1)) * 0.5, 6
+               ) AS quality
+        FROM stats
+    """,
+    tags=("text", "quality"),
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length credit (tokens capped at 100)
+    blended with alphabetic-character ratio — the shape of a fastText-
+    style quality prior, in pure expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    nonspace = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    alpha_ratio = alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(nonspace.cast("double") / n_tokens, 6).alias("avg_word_len"),
+        F.round(
+            F.least(n_tokens, F.lit(100)) / 100.0 * 0.5 + alpha_ratio * 0.5, 6
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents
+        )
+        SELECT doc_id, lang AS label_lang,
+               CASE WHEN len(list_filter(w, t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE
+                         / greatest(len(w), 1) > 0.08
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM toks
+    """,
+    tags=("text", "langid"),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic: predict 'en' when >8% of
+    tokens are common English stopwords. (A real system swaps in a
+    trained n-gram profile per language; the operator shape — per-row
+    expression, no shuffle — is identical.)"""
+    d = load_table(spark, sf_dir, "documents")
+    scored = with_stopword_ratio(d, "text")
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        F.when(F.col("stopword_ratio") > 0.08, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 fingerprint per document (the exact-dedup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   string_split(
+                       regexp_replace(text,
+                           '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])',
+                           '\\1' || chr(1), 'g'),
+                       chr(1)),
+                   t -> trim(t) <> '')) AS INTEGER) AS bpe_tokens
+        FROM documents
+    """,
+    tags=("text", "tokenizer"),
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer segment count (words | numbers | symbols) — a
+    tokenizer-independent token-budget estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return with_text_stats(d, "text").select("doc_id", "bpe_tokens")

@@ -1,0 +1,149 @@
+"""Reference-parity queries (SURVEY §2), oracle-checked on the driver's
+synthetic tables.
+
+The decode-chain inputs are the STEDI wire shapes synthesized
+deterministically from `customer`/`events` (sources/testdata.py); since
+the encoders use the same Spark primitives the decoders invert, the
+DuckDB oracle is the *direct* relational derivation — any bug on either
+side of the encode/decode chain breaks the hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import (
+    stedi_customers_plain,
+    stedi_customers_wire,
+    stedi_risk_plain,
+    stedi_risk_wire,
+)
+from . import stedi
+from .registry import register
+
+# Shared SQL fragments for the oracle side (DuckDB dialect == ANSI here).
+_SQL_EMAIL_FROM_CUST = (
+    "'customer_' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') || '@example.com'"
+)
+_SQL_EMAIL_FROM_USER = (
+    "'customer_' || lpad(CAST(user_id AS VARCHAR), 9, '0') || '@example.com'"
+)
+_SQL_BIRTH_YEAR = "CAST(1920 + c_custkey % 80 AS VARCHAR)"
+
+
+@register(
+    "stedi_decode_chain",
+    oracle=f"""
+        SELECT {_SQL_EMAIL_FROM_CUST} AS email,
+               {_SQL_BIRTH_YEAR} AS birthYear
+        FROM customer
+    """,
+    tags=("parity", "P1-P9"),
+)
+def stedi_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full customer branch (reference sparkpykafkajoin.py:72-155):
+    envelope JSON → from_json → zSetEntries[0].element → unbase64 →
+    from_json → not-null filter → birthYear split → (email, birthYear)."""
+    return stedi.customer_pipeline(stedi_customers_wire(spark, sf_dir))
+
+
+@register(
+    "stedi_risk_parse",
+    oracle="""
+        SELECT 'customer_' || lpad(CAST(user_id AS VARCHAR), 9, '0')
+                   || '@example.com' AS customer,
+               CAST(value AS FLOAT) AS score
+        FROM events
+    """,
+    tags=("parity", "P1,P2,P3,P10"),
+)
+def stedi_risk_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk branch (reference sparkpyeventskafkastreamtoconsole.py:29-61):
+    JSON payload → from_json(stediSchema) → (customer, score)."""
+    return stedi.parse_risk_events(stedi_risk_wire(spark, sf_dir))
+
+
+@register(
+    "stedi_flagship_join",
+    oracle=f"""
+        WITH cust AS (
+            SELECT {_SQL_EMAIL_FROM_CUST} AS email,
+                   {_SQL_BIRTH_YEAR} AS birthYear
+            FROM customer
+        ),
+        risk AS (
+            SELECT {_SQL_EMAIL_FROM_USER} AS customer,
+                   CAST(value AS FLOAT) AS score
+            FROM events
+        )
+        SELECT r.customer, r.score, c.email, c.birthYear
+        FROM risk r JOIN cust c ON r.customer = c.email
+    """,
+    tags=("parity", "J1"),
+)
+def stedi_flagship_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship (reference sparkpykafkajoin.py:196-209): decode both
+    streams, inner equi-join risk.customer = customers.email, project
+    (customer, score, email, birthYear)."""
+    return stedi.flagship_pipeline(
+        stedi_customers_wire(spark, sf_dir), stedi_risk_wire(spark, sf_dir)
+    )
+
+
+@register(
+    "stedi_null_filter",
+    oracle=f"""
+        SELECT {_SQL_EMAIL_FROM_CUST} AS email,
+               {_SQL_BIRTH_YEAR} AS birthYear
+        FROM customer
+        WHERE c_custkey % 10 <> 0
+    """,
+    tags=("parity", "P7"),
+)
+def stedi_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Not-null filter semantics (reference sparkpykafkajoin.py:138-149):
+    missing JSON fields parse to null and are dropped. Every 10th
+    customer's email field is omitted from the inner document
+    (to_json drops null fields), so the decode output must exclude it."""
+    plain = stedi_customers_plain(spark, sf_dir)
+    # Null out the email for customers whose key is divisible by 10.
+    c_key = F.regexp_extract(F.col("customerName"), r"(\d+)$", 1).cast("bigint")
+    plain = plain.withColumn("email", F.when(c_key % 10 != 0, F.col("email")))
+    return stedi.customer_pipeline(stedi.encode_customer_envelope(plain))
+
+
+@register(
+    "stedi_serialized_sink",
+    oracle=f"""
+        WITH cust AS (
+            SELECT {_SQL_EMAIL_FROM_CUST} AS email,
+                   {_SQL_BIRTH_YEAR} AS birthYear
+            FROM customer
+        ),
+        risk AS (
+            SELECT {_SQL_EMAIL_FROM_USER} AS customer,
+                   CAST(value AS FLOAT) AS score
+            FROM events
+        )
+        SELECT '{{"customer":"' || r.customer || '","score":"' || CAST(r.score AS VARCHAR)
+               || '","email":"' || c.email || '","birthYear":"' || c.birthYear || '"}}'
+               AS value
+        FROM risk r JOIN cust c ON r.customer = c.email
+    """,
+    tags=("parity", "P11,K1"),
+)
+def stedi_serialized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-sink projection (reference sparkpykafkajoin.py:211-212):
+    to_json(struct(*)) AS value. Score/birthYear are serialized as JSON
+    *strings* to match the documented target payload (README.md:159-164)
+    — which also makes the oracle's formatting deterministic."""
+    joined = stedi.flagship_pipeline(
+        stedi_customers_wire(spark, sf_dir), stedi_risk_wire(spark, sf_dir)
+    ).select(
+        F.col("customer"),
+        F.col("score").cast("string").alias("score"),
+        F.col("email"),
+        F.col("birthYear"),
+    )
+    return stedi.serialize_for_kafka(joined)

@@ -1,0 +1,101 @@
+"""SparkSession construction tuned for both local test runs and a
+large multi-executor cluster.
+
+The reference creates bare sessions (``SparkSession.builder.appName(...)
+.getOrCreate()``, reference sparkpykafkajoin.py:56) and leaves every
+performance knob at its default. For a 100 TB deployment we want AQE,
+Arrow transfer for any pandas interchange, Kryo, a sane shuffle-partition
+count, and RocksDB-backed streaming state (bounded memory for the
+unbounded stream-stream join state the reference accumulates).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also apply defensively to externally-created
+# sessions (the correctness driver passes us its own SparkSession).
+RUNTIME_CONF = {
+    # Deterministic timestamp rendering; matches DuckDB's naive reading
+    # of the parquet test tables.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE re-plans at runtime: coalesces small shuffle partitions and
+    # splits skewed join partitions — essential at scale, free locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The synthetic events table stores TIMESTAMP(NANOS) parquet, which
+    # Spark cannot represent natively; read as int64 nanos and convert
+    # explicitly in sources/testdata.py (micros truncation — all query
+    # semantics are ≥ second granularity).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session (e.g. one
+    handed to us by the test driver)."""
+    for key, value in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Some confs may be fixed by the session owner; never fail.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "ehb-spark-engine",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    On a real cluster ``spark.sql.shuffle.partitions`` should be sized to
+    ~2-3x total executor cores (and AQE coalesces down); locally we match
+    the core count so small tests don't pay 200-partition overhead.
+    """
+    par = shuffle_partitions or default_parallelism()
+    master = os.environ.get("SPARK_MASTER", f"local[{default_parallelism()}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(par))
+        .config("spark.default.parallelism", str(par))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Broadcast small dimension tables aggressively (region/nation/
+        # customer-sized dims); AQE also converts to broadcast at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Larger scan partitions keep task count sane on wide scans.
+        .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
+        # Streaming state: RocksDB spills to disk instead of exhausting
+        # executor heap (the parity join keeps unbounded state, SURVEY §2.4).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,105 @@
+"""Adapters from the driver's synthetic star-schema tables
+(TESTDATA.md) to the STEDI wire shapes.
+
+The decode-chain operators need `redis-server`-envelope and
+`stedi-events`-payload inputs, but the provided test tables are plain
+relational parquet. These adapters derive deterministic STEDI-shaped
+rows from them with expressions that exist identically in Spark SQL and
+DuckDB, so every derivation is oracle-checkable:
+
+- email     = lower(replace(c_name, '#', '_')) || '@example.com'
+- birthDay  = (1920 + c_custkey % 80) || '-01-' || lpad(c_custkey%28+1)
+- risk rows = events table with the same email formula over user_id
+
+`user_id` values are a subset of `c_custkey` values at every scale
+factor, so the flagship inner join is non-empty by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as int64 nanos via
+    # spark.sql.legacy.parquet.nanosAsLong (session.RUNTIME_CONF);
+    # convert to a microsecond TimestampType column.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def _email_from_custkey(key_col):
+    return F.concat(
+        F.lit("customer_"), F.lpad(key_col.cast("string"), 9, "0"), F.lit("@example.com")
+    )
+
+
+def stedi_customers_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer table → plain STEDI customer records (pre-encoding)."""
+    c = load_table(spark, sf_dir, "customer")
+    birth_year = (F.lit(1920) + F.col("c_custkey") % 80).cast("int").cast("string")
+    birth_day = F.concat(
+        birth_year,
+        F.lit("-01-"),
+        F.lpad((F.col("c_custkey") % 28 + 1).cast("string"), 2, "0"),
+    )
+    return c.select(
+        F.col("c_name").alias("customerName"),
+        _email_from_custkey(F.col("c_custkey")).alias("email"),
+        F.concat(F.lit("555"), F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")).alias(
+            "phone"
+        ),
+        birth_day.alias("birthDay"),
+    )
+
+
+def stedi_risk_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table → plain STEDI risk assessments (pre-encoding)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        _email_from_custkey(F.col("user_id")).alias("customer"),
+        F.col("value").cast("float").alias("score"),
+        F.col("ts").alias("riskDate"),
+    )
+
+
+def stedi_customers_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer table → doubly-encoded `redis-server` envelopes
+    (single `value` string column)."""
+    from ..plans.stedi import encode_customer_envelope
+
+    return encode_customer_envelope(stedi_customers_plain(spark, sf_dir))
+
+
+def stedi_risk_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table → `stedi-events` JSON payloads
+    (single `value` string column)."""
+    from ..plans.stedi import encode_risk_event
+
+    return encode_risk_event(stedi_risk_plain(spark, sf_dir))

@@ -1,0 +1,133 @@
+"""Registered queries that exercise the REAL streaming path: file
+stream source → pipeline → availableNow → memory sink, then hand the
+materialized table to the driver.
+
+The flagship streaming query shares its oracle with the batch flagship
+— stream(decode+join) must hash-match the relational derivation, which
+certifies both the pipeline and its incrementalization. Queries whose
+streaming semantics SQL can't replay (stateful pandas op; per-batch
+emission) register rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..plans import stedi
+from ..plans.registry import register
+from ..plans.stedi_queries import (
+    _SQL_BIRTH_YEAR,
+    _SQL_EMAIL_FROM_CUST,
+    _SQL_EMAIL_FROM_USER,
+)
+from ..sources.files import stream_parquet_dir
+from ..sources.testdata import stedi_customers_wire, stedi_risk_wire
+from .aggregates import windowed_quality
+from .runner import run_to_memory
+from .stateful import running_risk_state
+
+_WIRE_SCHEMA = StructType([StructField("value", StringType())])
+
+
+def _materialize_wire_stream(
+    spark: SparkSession, wire_df: DataFrame, tag: str, n_files: int = 4
+) -> DataFrame:
+    """Write a wire-format DataFrame to a temp parquet dir and re-open
+    it as a file *stream* (n_files micro-batches — a real replay, not a
+    single-batch degenerate case)."""
+    path = os.path.join(tempfile.mkdtemp(prefix=f"ehb-stream-{tag}-"), "data")
+    wire_df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return stream_parquet_dir(spark, path, _WIRE_SCHEMA, max_files_per_trigger=1)
+
+
+@register(
+    "stream_flagship_join",
+    oracle=f"""
+        WITH cust AS (
+            SELECT {_SQL_EMAIL_FROM_CUST} AS email,
+                   {_SQL_BIRTH_YEAR} AS birthYear
+            FROM customer
+        ),
+        risk AS (
+            SELECT {_SQL_EMAIL_FROM_USER} AS customer,
+                   CAST(value AS FLOAT) AS score
+            FROM events
+        )
+        SELECT r.customer, r.score, c.email, c.birthYear
+        FROM risk r JOIN cust c ON r.customer = c.email
+    """,
+    tags=("streaming", "J1"),
+)
+def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship join run AS A STREAM: both wire feeds replayed as
+    multi-batch file streams, stream-stream inner join with symmetric
+    hash state, drained via availableNow into a memory sink. Must
+    hash-match the same relational oracle as the batch flagship."""
+    redis_stream = _materialize_wire_stream(
+        spark, stedi_customers_wire(spark, sf_dir), "redis"
+    )
+    events_stream = _materialize_wire_stream(
+        spark, stedi_risk_wire(spark, sf_dir), "events"
+    )
+    joined = stedi.flagship_pipeline(redis_stream, events_stream)
+    return run_to_memory(spark, joined, output_mode="append")
+
+
+@register(
+    "stream_windowed_quality",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "watermark", "phase3"),
+)
+def q_stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate over a replayed event
+    stream (complete output mode so every window surfaces for the
+    oracle; production uses append + watermark eviction)."""
+    from ..sources.testdata import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="ehb-stream-win-"), "data")
+    events.select("ts", "event_type", "value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = stream_parquet_dir(
+        spark,
+        path,
+        StructType.fromDDL("ts timestamp, event_type string, value double"),
+        max_files_per_trigger=1,
+    )
+    agg = windowed_quality(stream, ts_col="ts", window_size="1 day")
+    return run_to_memory(spark, agg, output_mode="complete")
+
+
+@register(
+    "stream_stateful_risk",
+    oracle=None,  # per-batch update emission isn't SQL-replayable
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def q_stream_stateful_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-customer risk aggregate over a
+    replayed risk stream; emits the latest state per customer per batch
+    (update mode). Final-state correctness is pinned by unit tests."""
+    risk = stedi.parse_risk_events(
+        _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), "stateful")
+    )
+    out = running_risk_state(risk)
+    updates = run_to_memory(spark, out, output_mode="update")
+    # Collapse per-batch updates to the final state per customer.
+    return (
+        updates.groupBy("customer")
+        .agg(F.max("n_assessments").alias("n_assessments"))
+        .orderBy("customer")
+    )
