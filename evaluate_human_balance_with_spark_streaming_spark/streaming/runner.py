@@ -34,14 +34,24 @@ def run_to_memory(
     startingOffsets=earliest)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     checkpoint = tempfile.mkdtemp(prefix="ehb-ckpt-")
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # A streaming query creates one state store per shuffle partition
+    # per stateful operator PER MICRO-BATCH; at replay-test scale that
+    # fixed cost dwarfs the data. Pin a small state partition count for
+    # the duration of the start() call (the query captures the conf at
+    # start), then restore. On a cluster-sized job, size this to cores.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     query.awaitTermination(timeout_sec)
     if query.isActive:  # pragma: no cover - safety net
         query.stop()

@@ -1,0 +1,145 @@
+"""Unit tests for the extension operators (dedup / similarity / text /
+multimodal) on hand-built fixtures — semantics pinned independently of
+the DuckDB oracle runs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from evaluate_human_balance_with_spark_streaming_spark.functions.text import (
+    fingerprint_md5,
+    normalize_text,
+    word_shingles,
+)
+from evaluate_human_balance_with_spark_streaming_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+)
+from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from evaluate_human_balance_with_spark_streaming_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_payload,
+    extract_features,
+    sample_frames,
+)
+from evaluate_human_balance_with_spark_streaming_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_normalize_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("  Hello   WORLD ",), ("hello world",)], "t string"
+    ).select(
+        normalize_text(F.col("t")).alias("n"), fingerprint_md5(F.col("t")).alias("fp")
+    )
+    rows = df.collect()
+    assert rows[0].n == "hello world" == rows[1].n
+    assert rows[0].fp == rows[1].fp  # same fingerprint after normalization
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",)], "t string").select(
+        word_shingles(F.col("t"), 3).alias("s")
+    )
+    assert df.first().s == []
+
+
+def test_word_shingles_values(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string").select(
+        word_shingles(F.col("t"), 3).alias("s")
+    )
+    assert sorted(df.first().s) == ["a b c", "b c d"]
+
+
+def test_dedup_exact_groups_whitespace_case_variants(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "The quick brown fox", "a"),
+            (2, "the  quick   brown fox", "a"),
+            (3, "something else", "b"),
+        ],
+    )
+    out = {r.doc_id: r.n_copies for r in dedup_exact(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_duplicate_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about structured streaming state stores"
+    df = docs_df(spark, [(1, base, "a"), (2, near, "a"), (3, far, "a")])
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", 16, 4, 3, 0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_ngram_jaccard_respects_blocking(spark):
+    # Identical docs in DIFFERENT blocks must not pair.
+    df = docs_df(spark, [(1, "x y z w", "a"), (2, "x y z w", "b")])
+    assert ngram_jaccard_pairs(df, "text", "doc_id", "source", 2, 0.1).count() == 0
+
+
+def test_cosine_similarity_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])],
+        "a array<double>, b array<double>",
+    ).select(
+        dot_product(F.col("a"), F.col("b")).alias("dp"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+    )
+    rows = df.collect()
+    assert rows[0].dp == 0.0 and abs(rows[0].cos) < 1e-12
+    assert abs(rows[1].cos - 1.0) < 1e-12
+
+
+def test_brute_force_topk_excludes_self_and_ranks(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), "embedding", "vec_id", k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert all(r.query_id == 1 for r in rows)
+
+
+def test_multimodal_payload_roundtrip_and_features(spark):
+    df = docs_df(spark, [(1, "abcd", "a")])
+    mm = attach_binary_payload(df, "text", "doc_id")
+    row = mm.first()
+    assert bytes(row.payload) == b"abcd"
+    assert row.meta.byte_len == 4
+
+    feats = extract_features(mm).first()
+    assert feats.byte_len == 4
+    assert abs(feats.mean_byte - (sum(b"abcd") / 4)) < 1e-9
+
+
+def test_multimodal_decode_stub_raises_for_real_media():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8", "image/jpeg")
+
+
+def test_frame_sampling_covers_payload(spark):
+    text = "x" * 600  # 3 frames of 256
+    df = docs_df(spark, [(1, text, "a")])
+    frames = sample_frames(attach_binary_payload(df, "text", "doc_id")).collect()
+    assert [f.frame_idx for f in frames] == [0, 1, 2]
+    assert [f.frame_len for f in frames] == [256, 256, 88]

