@@ -34,6 +34,8 @@ HEADLINE = [
     "q_nation_volume",
     "q_top_events_per_user",
     "q_user_sessions_gap",
+    "q_session_window_stats",
+    "q_asof_click_before_purchase",
     "q_risk_per_customer",
     "dedup_exact",
     "dedup_minhash_lsh",

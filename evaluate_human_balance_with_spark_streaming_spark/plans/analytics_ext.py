@@ -1,0 +1,343 @@
+"""Extended relational surface: set operations, multidimensional
+aggregation (CUBE/pivot), temporal as-of join, exact percentiles,
+skew-resistant two-phase aggregation, and corpus statistics.
+
+These go beyond the reference (which has a single inner join and no
+aggregations, SURVEY §2.5) to round out what a user of a general
+analytics engine expects, each with a DuckDB oracle.
+
+Scale notes: every query here either broadcasts its small side or
+shuffles exactly once on its group/join key; the salted variant shows
+the two-phase pattern for keys too hot for AQE alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import register
+
+
+@register(
+    "q_union_engaged_users",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("set-op",),
+)
+def q_union_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT of two filtered scans."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.union(buys).distinct()
+
+
+@register(
+    "q_intersect_click_and_buy",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("set-op",),
+)
+def q_intersect_click_and_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT — users present in both event populations."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "q_cube_sales",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 4) AS total_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations in one pass (Catalyst expands
+    to a single Expand + aggregate — one shuffle regardless of the
+    number of grouping sets)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4).alias(
+                "total_qty"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q_pivot_segment_status",
+    oracle="""
+        SELECT c.c_mktsegment,
+               SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
+               SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
+               SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no discovery scan): order
+    counts per market segment × order status."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+@register(
+    "q_asof_click_before_purchase",
+    oracle="""
+        WITH cand AS (
+            SELECT p.event_id AS purchase_id, c.ts, c.event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC
+                   ) AS rn
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+        )
+        SELECT purchase_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               event_id AS click_id
+        FROM cand WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join — click→purchase attribution: for each
+    purchase, the same user's latest click at or before it. Spark
+    lacks a native as-of join; the idiomatic composition is equi-join
+    on the entity key + range predicate + row_number — one shuffle on
+    the key, the range filter applied at the join. (At extreme
+    fan-out, bucket the right side by coarse time first to bound
+    candidates per probe row.)"""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cand = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user")) & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            "click_id",
+        )
+    )
+
+
+@register(
+    "q_exact_percentiles",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    percentile ≡ DuckDB quantile_cont). The streaming/100 TB variant
+    would use approx_percentile (t-digest) — approximate sketches
+    can't be oracle-matched across engines, so the exact form is the
+    correctness anchor."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "q_salted_hot_key_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE, 4) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality hot key
+    (event_type has ~5 values — at 100 TB each key is a hot partition).
+    Phase 1 groups by (key, salt) spreading each key over 16 reducers;
+    phase 2 merges the 16 partials per key. Result is identical to the
+    direct group-by (the oracle) — the plan shape is the point.
+    Decimal partial sums keep the merge order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv").cast("double"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "q_text_top_words",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+            FROM documents
+        )
+        SELECT word, COUNT(*) AS n
+        FROM words
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 20
+    """,
+    tags=("text", "agg"),
+)
+def q_text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 words: explode → count → ordered limit with a
+    word tiebreak. The explode fans out ~tokens× but the aggregate is
+    map-side-combined before its single shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_embedding_stats",
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               ROUND(MIN(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum'))), 6) AS min_norm,
+               ROUND(MAX(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum'))), 6) AS max_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster vector statistics (count + norm range) — the sanity
+    sweep run before any ANN indexing job. min/max of deterministic
+    per-row norms are order-independent."""
+    from ..functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "label", l2_norm(F.col("embedding").cast("array<double>")).alias("norm")
+    )
+    return with_norm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "q_session_window_stats",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) >= 3600
+                        THEN 1 ELSE 0 END AS new_session
+            FROM seq
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("agg", "session-window"),
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (1h inactivity gap): one row
+    per (user, session) with start + event count. The oracle rebuilds
+    sessions relationally (LAG + running sum), proving Spark's
+    session-merge semantics — a new session starts iff the gap is
+    >= the duration — against an independent derivation. The same
+    groupBy(session_window(...)) runs streaming with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )

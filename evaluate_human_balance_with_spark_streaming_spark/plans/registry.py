@@ -60,6 +60,6 @@ def all_oracles() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent)."""
-    from . import analytics, stedi_queries  # noqa: F401
+    from . import analytics, analytics_ext, stedi_queries  # noqa: F401
     from ..operators import dedup, similarity, text_queries, multimodal  # noqa: F401
     from ..streaming import stream_queries  # noqa: F401

@@ -80,6 +80,31 @@ def start_query(
     return writer.start()
 
 
+def run_foreach_batch(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    batch_fn,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> None:
+    """Drain a bounded stream through ``foreachBatch`` — the custom-sink
+    escape hatch (idempotent writes keyed on batch_id give effective
+    exactly-once on top of the at-least-once replay contract).
+    ``batch_fn(batch_df, batch_id)`` runs on the driver per micro-batch
+    with a *batch* DataFrame."""
+    checkpoint = tempfile.mkdtemp(prefix="ehb-ckpt-feb-")
+    query = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:  # pragma: no cover - safety net
+        query.stop()
+
+
 def await_any(spark: SparkSession) -> None:
     """Block until any active stream terminates — the correct way to run
     concurrent sinks (console + kafka, etc.)."""

@@ -131,3 +131,38 @@ def q_stream_stateful_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_assessments").alias("n_assessments"))
         .orderBy("customer")
     )
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events table is replayed TWICE (union
+    of two copies, spread over multi-file micro-batches so duplicates
+    arrive in different batches) and dropDuplicates on event_id must
+    reduce it back to exactly the original rows — state carries seen
+    keys across batches. Production bounds that state with
+    dropDuplicatesWithinWatermark; the replay here has no event-time
+    column, so state is O(distinct keys) as in the reference's own
+    unbounded-state join."""
+    from ..sources.testdata import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    doubled = events.union(events)
+    path = os.path.join(tempfile.mkdtemp(prefix="ehb-stream-dup-"), "data")
+    doubled.repartition(6).write.mode("overwrite").parquet(path)
+    stream = stream_parquet_dir(
+        spark,
+        path,
+        StructType.fromDDL("event_id bigint, user_id bigint, event_type string"),
+        max_files_per_trigger=2,
+    )
+    deduped = stream.dropDuplicates(["event_id"])
+    return run_to_memory(spark, deduped, output_mode="append")
