@@ -212,3 +212,77 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer-independent token-budget estimate."""
     d = load_table(spark, sf_dir, "documents")
     return with_text_stats(d, "text").select("doc_id", "bpe_tokens")
+
+
+@register(
+    "text_tfidf_top_term",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tc
+            FROM toks GROUP BY doc_id, term
+        ),
+        doclen AS (
+            SELECT doc_id, SUM(tc) AS n_toks FROM tf GROUP BY doc_id
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   (tf.tc::DOUBLE / doclen.n_toks)
+                   * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+            FROM tf
+            JOIN doclen ON doclen.doc_id = tf.doc_id
+            JOIN df ON df.term = tf.term
+            CROSS JOIN n
+        )
+        SELECT doc_id, term AS top_term, ROUND(tfidf, 6) AS tfidf
+        FROM (
+            SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    tags=("text", "tfidf"),
+)
+def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive term per document by TF-IDF (smoothed idf =
+    ln((N+1)/(df+1))). Plan shape at scale: one explode pass feeds two
+    aggregates (term frequency; document frequency); document frequency
+    is a short (term, df) table joined back broadcast; N is a scalar
+    broadcast. No all-pairs anything; the per-doc top-1 is a
+    WindowGroupLimit."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("tc").alias("n_toks"))
+    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; folded into the idf literal below
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df_tbl), "term")
+        .withColumn(
+            "tfidf",
+            (F.col("tc").cast("double") / F.col("n_toks"))
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf", 6).alias("tfidf"))
+    )

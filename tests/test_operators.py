@@ -143,3 +143,62 @@ def test_frame_sampling_covers_payload(spark):
     frames = sample_frames(attach_binary_payload(df, "text", "doc_id")).collect()
     assert [f.frame_idx for f in frames] == [0, 1, 2]
     assert [f.frame_len for f in frames] == [256, 256, 88]
+
+
+def test_csv_json_sources_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        read_csv,
+        read_json,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id bigint, name string"
+    )
+    schema = StructType.fromDDL("id bigint, name string")
+    csv_p, json_p = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", "true").csv(csv_p)
+    df.write.json(json_p)
+    assert sorted(tuple(r) for r in read_csv(spark, csv_p, schema).collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+    assert sorted(tuple(r) for r in read_json(spark, json_p, schema).collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+
+def test_encode_decode_property_many_random_customers(spark):
+    """Property-style roundtrip: for ANY customer record whose email and
+    birthDay are present, encode→decode must return (email, birthYear)
+    exactly. Values generated by hypothesis strategies, executed as one
+    DataFrame pass."""
+    from hypothesis import strategies as st
+
+    from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
+
+    printable = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=0,
+        max_size=40,
+    )
+    email_st = st.from_regex(r"[A-Za-z0-9._%+-]{1,20}@[A-Za-z0-9.-]{1,20}", fullmatch=True)
+    year_st = st.integers(min_value=1900, max_value=2025)
+    rows = []
+    for i in range(200):
+        name = printable.example()
+        email = email_st.example()
+        year = year_st.example()
+        rows.append((name, email, "555", f"{year:04d}-06-15"))
+    plain = spark.createDataFrame(
+        rows, "customerName string, email string, phone string, birthDay string"
+    )
+    wire = stedi.encode_customer_envelope(plain)
+    got = {
+        (r.email, r.birthYear)
+        for r in stedi.customer_pipeline(wire).collect()
+    }
+    expect = {(e, b.split("-")[0]) for _, e, _, b in rows}
+    assert got == expect
