@@ -62,6 +62,11 @@ def _email_from_custkey(key_col):
 
 def stedi_customers_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer table → plain STEDI customer records (pre-encoding)."""
+    # NB: measured — spreading this scan (ensure_min_partitions) before
+    # the encode chain made the whole suite SLOWER at test scale: the
+    # json/base64 expressions are codegen'd and cheap, so the added
+    # round-robin shuffle dominates. The spread helper stays reserved
+    # for interpreted higher-order hot loops (minhash/simhash/cosine).
     c = load_table(spark, sf_dir, "customer")
     birth_year = (F.lit(1920) + F.col("c_custkey") % 80).cast("int").cast("string")
     birth_day = F.concat(
