@@ -77,3 +77,53 @@ def test_dimension_filter_prunes_partitions_semantics(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]" in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "c_name" not in read_schema
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key lets the join run
+    with ZERO exchanges — the co-located join strategy for repeated
+    100 TB fact-fact joins (pay the layout cost once at ingest, every
+    downstream join is shuffle-free)."""
+    import contextlib
+    import io
+
+    from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+        load_table,
+    )
+
+    # warehouse.dir is static config; give the database its own location.
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{tmp_path}/wh'")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # At test scale the planner would broadcast; disable to surface the
+    # bucketed sort-merge path this demo is about.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        load_table(spark, sf_dir, "orders").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable("buckdemo.orders_b")
+        load_table(spark, sf_dir, "lineitem").write.bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").mode("overwrite").saveAsTable("buckdemo.lineitem_b")
+        joined = spark.table("buckdemo.lineitem_b").join(
+            spark.table("buckdemo.orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        # And the result is right.
+        n_direct = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == n_direct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
