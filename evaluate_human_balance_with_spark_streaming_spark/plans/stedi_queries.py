@@ -147,3 +147,77 @@ def stedi_serialized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("birthYear"),
     )
     return stedi.serialize_for_kafka(joined)
+
+
+@register(
+    "stedi_flagship_sql",
+    oracle=f"""
+        WITH cust AS (
+            SELECT {_SQL_EMAIL_FROM_CUST} AS email,
+                   {_SQL_BIRTH_YEAR} AS birthYear
+            FROM customer
+        ),
+        risk AS (
+            SELECT {_SQL_EMAIL_FROM_USER} AS customer,
+                   CAST(value AS FLOAT) AS score
+            FROM events
+        )
+        SELECT r.customer, r.score, c.email, c.birthYear
+        FROM risk r JOIN cust c ON r.customer = c.email
+    """,
+    tags=("parity", "J1", "P12", "sql-style"),
+)
+def stedi_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship dataflow written the way the REFERENCE writes it —
+    temp views + spark.sql at every step (reference
+    sparkpykafkajoin.py:105-198 alternates the two styles; its comment
+    at :109-110 says SQL is used 'because it's easier'). Both spellings
+    build the same logical plan through the session catalog; this query
+    proves the SQL surface end-to-end with the same oracle as the
+    DataFrame-style flagship."""
+    stedi_customers_wire(spark, sf_dir).createOrReplaceTempView("RedisWire")
+    stedi_risk_wire(spark, sf_dir).createOrReplaceTempView("EventsWire")
+    spark.sql(
+        """
+        SELECT from_json(CAST(value AS STRING),
+                         'key string, existType string, ch string, incr boolean,
+                          zSetEntries array<struct<element:string, score:string>>'
+               ) AS env
+        FROM RedisWire
+        """
+    ).selectExpr("env.*").createOrReplaceTempView("RedisSortedSet")
+    spark.sql(
+        "SELECT get(zSetEntries, 0).element AS encodedCustomer FROM RedisSortedSet"
+    ).createOrReplaceTempView("EncodedCustomer")
+    spark.sql(
+        """
+        SELECT from_json(
+                   CAST(try_to_binary(encodedCustomer, 'base64') AS STRING),
+                   'customer string, score string, email string, birthDay string'
+               ) AS customer
+        FROM EncodedCustomer
+        """
+    ).selectExpr("customer.*").createOrReplaceTempView("CustomerRecords")
+    spark.sql(
+        """
+        SELECT email, split(birthDay, '-')[0] AS birthYear
+        FROM CustomerRecords
+        WHERE email IS NOT NULL AND birthDay IS NOT NULL
+        """
+    ).createOrReplaceTempView("EmailAndBirthYear")
+    spark.sql(
+        """
+        SELECT event.customer AS customer, event.score AS score
+        FROM (
+            SELECT from_json(CAST(value AS STRING),
+                             'customer string, score float, riskDate date') AS event
+            FROM EventsWire
+        )
+        """
+    ).createOrReplaceTempView("CustomerRisk")
+    return spark.sql(
+        """
+        SELECT customer, score, email, birthYear
+        FROM CustomerRisk JOIN EmailAndBirthYear ON customer = email
+        """
+    )

@@ -207,3 +207,55 @@ def test_drop_duplicates_within_watermark(spark):
     deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["k"])
     out = run_to_memory(spark, deduped)
     assert sorted(r.k for r in out.collect()) == [1, 2]
+
+
+def test_watermark_drops_late_rows_in_append_window(spark):
+    """Append-mode windowed aggregate with a watermark: a row arriving
+    after its window's watermark has passed is DROPPED (the late-data
+    semantics the reference never chose, SURVEY §2.7)."""
+    import datetime as dt
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql.types import StructType
+
+    import time as _time
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # Watermark mechanics (verified empirically): the watermark for
+    # batch N comes from batch N-1's max event time, and a window is
+    # evicted+emitted at the end of the first batch whose watermark
+    # passes its end — so a "late" row is only guaranteed-dropped two
+    # batches after the advancing row. Files are written with strictly
+    # increasing mtimes; the file source serves them oldest-first, one
+    # per micro-batch.
+    batches = [
+        [(base, 1.0)],                                       # the window under test
+        [(base + dt.timedelta(hours=2), 5.0)],               # advances event time
+        [(base + dt.timedelta(hours=2, minutes=1), 6.0)],    # watermark passes 00:10 → evict+emit
+        [(base + dt.timedelta(minutes=1), 100.0)],           # LATE: window already closed
+    ]
+    path = _os.path.join(_tf.mkdtemp(prefix="ehb-late-"), "data")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "ts timestamp, value double").coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(path)
+        _time.sleep(1.5)
+    stream = stream_parquet_dir(
+        spark,
+        path,
+        StructType.fromDDL("ts timestamp, value double"),
+        max_files_per_trigger=1,
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.date_format("w.start", "HH:mm").alias("w_start"), "n", "total")
+    )
+    out = run_to_memory(spark, agg, output_mode="append")
+    rows = {r.w_start: (r.n, r.total) for r in out.collect()}
+    # The 00:00 window emitted exactly once, WITHOUT the late 100.0 row;
+    # the 02:00 windows are still open (watermark never passed them) so
+    # append mode correctly emits nothing for them.
+    assert rows == {"00:00": (1, 1.0)}
