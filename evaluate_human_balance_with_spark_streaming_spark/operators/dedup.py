@@ -383,3 +383,126 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         threshold=0.4,
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected pair set → (node,
+    cluster_id = min node id in the component).
+
+    Iterative min-label propagation (the Pregel pattern as DataFrame
+    ops): each round every node takes the min of its own label and its
+    neighbors' labels; converged when no label changes. Rounds needed =
+    graph diameter, each round one shuffle on node id — the standard
+    scale-out CC for dedup clustering (pair graphs are shallow: near-dup
+    clusters are cliques-ish, so 2-3 rounds in practice).
+
+    The input `pairs` plan is re-evaluated every round — pass a
+    persisted DataFrame (this function persists internally).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_lsh_clusters",
+    oracle="""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in range(1, len(w) - 1)]) AS shingles
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   [list_aggregate([md5(CAST(k AS VARCHAR) || ':' || s) for s in shingles], 'min')
+                    for k in range(0, 16)] AS mh
+            FROM sh
+        ),
+        banded AS (
+            SELECT doc_id, b.band,
+                   md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS bkey
+            FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+            WHERE a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT c.id_a, c.id_b,
+                       len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                       / len(list_distinct(sa.shingles || sb.shingles)) AS jac
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+            ) WHERE round(jac, 6) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, root) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.root
+            FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node, MIN(root) AS cluster_id
+        FROM reach
+        GROUP BY node
+    """,
+    tags=("dedup", "lsh", "clustering", "iterative"),
+)
+def q_dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH pair generation followed by iterative
+    connected components — the step that turns pairwise matches into
+    keep-one-per-group dedup decisions. The oracle replays the whole
+    pipeline including the graph closure (recursive CTE)."""
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.5,
+    ).persist()
+    return connected_components(pairs)

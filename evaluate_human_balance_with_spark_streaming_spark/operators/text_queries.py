@@ -286,3 +286,41 @@ def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+@register(
+    "text_levenshtein_near",
+    oracle="""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INTEGER) AS edit_dist
+        FROM documents a
+        JOIN documents b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+    """,
+    tags=("text", "dedup", "levenshtein"),
+)
+def q_text_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match on 40-char prefixes within source
+    blocks — the fuzzy-match complement to shingle Jaccard (catches
+    char-level noise: OCR errors, encoding damage). Blocked join keeps
+    the pair count bounded; the prefix cap bounds per-pair cost (full-
+    text levenshtein is O(len²) — never run it unblocked at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("blk"),
+        F.substring("text", 1, 40).alias("ta"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("blk"),
+        F.substring("text", 1, 40).alias("tb"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("edit_dist") <= 10)
+        .select("id_a", "id_b", "edit_dist")
+    )
