@@ -177,3 +177,48 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature fn); correctness pinned by unit tests instead."""
     d = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(d, "text", "doc_id"))
+
+
+RESIZE_SCHEMA = "id bigint, resized binary, out_len int"
+
+
+def resize_payload(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' binary payloads to a fixed byte budget via deterministic
+    stride sampling — the shape (Arrow batch in, smaller binary out) of
+    a real image-resize Pandas UDF; swap the body for PIL/cv2 on a
+    cluster with codecs. Runs in mapInPandas so payload bytes never
+    round-trip through row-at-a-time Python."""
+
+    def resize(batches):
+        for pdf in batches:
+            out = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                raw = decode_payload(bytes(p), m)
+                if len(raw) <= target_bytes:
+                    out.append(raw)
+                else:
+                    stride = len(raw) / target_bytes
+                    out.append(bytes(raw[int(i * stride)] for i in range(target_bytes)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "resized": out,
+                    "out_len": [len(o) for o in out],
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "mm_resize",
+    oracle=None,  # pandas-UDF body; rows-only check + unit-test pinning
+    tags=("multimodal", "pandas-udf"),
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched payload resize to a 64-byte budget (stride
+    sampling standing in for image thumbnailing)."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_payload(attach_binary_payload(d, "text", "doc_id")).select(
+        "id", "out_len"
+    )

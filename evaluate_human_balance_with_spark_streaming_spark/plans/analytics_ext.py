@@ -374,3 +374,81 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "q_user_activity_similarity",
+    oracle="""
+        WITH ud AS (
+            SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        norms AS (
+            SELECT user_id, sqrt(SUM(n * n)) AS norm FROM ud GROUP BY user_id
+        ),
+        dots AS (
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+                   SUM(a.n * b.n) AS dot
+            FROM ud a JOIN ud b ON a.day = b.day AND a.user_id < b.user_id
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT d.user_a, d.user_b,
+                   ROUND(d.dot / (na.norm * nb.norm), 6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.user_id = d.user_a
+            JOIN norms nb ON nb.user_id = d.user_b
+        )
+        SELECT user_a, user_b, cosine FROM (
+            SELECT user_a, user_b, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_a
+                       ORDER BY cosine DESC, user_b ASC) AS rn
+            FROM sims
+        ) WHERE rn <= 5
+    """,
+    tags=("similarity", "time-series"),
+)
+def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over daily activity profiles: each
+    user is a sparse day→count vector; cosine similarity is computed
+    RELATIONALLY — a self-join on the day key accumulates integer dot
+    products (exact), norms come from per-user sums of squares (exact),
+    and the single double division at the end is deterministic. This
+    sparse-join formulation (vs materializing dense vectors) is how
+    distributed time-series similarity scales: the shuffle is on the
+    time key, pair cost is bounded by co-active days, not |users|².
+    Top-5 most-similar per user, tiebroken by id."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norms = ud.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm"))
+    a = ud.select(F.col("user_id").alias("user_a"), "day", F.col("n").alias("na"))
+    b = ud.select(F.col("user_id").alias("user_b"), "day", F.col("n").alias("nb"))
+    dots = (
+        a.join(b, "day")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("dot"))
+    )
+    sims = (
+        dots.join(
+            F.broadcast(norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))),
+            "user_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("user_id").alias("user_b"), F.col("norm").alias("norm_b"))),
+            "user_b",
+        )
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6))
+    )
+    w = Window.partitionBy("user_a").orderBy(F.col("cosine").desc(), F.col("user_b").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_a", "user_b", "cosine")
+    )

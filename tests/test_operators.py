@@ -202,3 +202,21 @@ def test_encode_decode_property_many_random_customers(spark):
     }
     expect = {(e, b.split("-")[0]) for _, e, _, b in rows}
     assert got == expect
+
+
+def test_resize_payload_deterministic_stride(spark):
+    from evaluate_human_balance_with_spark_streaming_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payload,
+    )
+
+    df = docs_df(spark, [(1, "0123456789" * 13, "a")])  # 130 bytes
+    out = resize_payload(attach_binary_payload(df, "text", "doc_id"), 64).first()
+    assert out.out_len == 64
+    raw = ("0123456789" * 13).encode()
+    stride = len(raw) / 64
+    assert bytes(out.resized) == bytes(raw[int(i * stride)] for i in range(64))
+
+    short = docs_df(spark, [(2, "tiny", "a")])
+    out2 = resize_payload(attach_binary_payload(short, "text", "doc_id"), 64).first()
+    assert bytes(out2.resized) == b"tiny"  # under budget passes through
