@@ -324,3 +324,56 @@ def q_text_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 10)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+@register(
+    "text_deterministic_sample",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+    tags=("sampling",),
+)
+def q_text_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample keyed on a hash of the id — the
+    reproducible alternative to rand() sampling for training-data
+    curation: stable across runs, engines, partitionings, and re-runs
+    over grown datasets (a doc's membership never flips). Purely a
+    filter — no shuffle, pushes to the scan boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return d.filter(bucket < 10).select("doc_id", "lang", "source")
+
+
+@register(
+    "text_stratified_sample",
+    oracle="""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+    tags=("sampling", "stratified"),
+)
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: up to 20 docs per language, chosen by hash
+    order (deterministic shuffle) — per-class balancing for training
+    mixes. One shuffle on the stratum key; WindowGroupLimit caps each
+    partition before the exchange."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
