@@ -38,11 +38,15 @@ def _materialize_wire_stream(
     spark: SparkSession, wire_df: DataFrame, tag: str, n_files: int = 4
 ) -> DataFrame:
     """Write a wire-format DataFrame to a temp parquet dir and re-open
-    it as a file *stream* (n_files micro-batches — a real replay, not a
-    single-batch degenerate case)."""
+    it as a file *stream* (multiple micro-batches — a real replay, not
+    a single-batch degenerate case). Two files per trigger: still ≥2
+    batches of cross-batch state per source, at half the per-batch
+    fixed cost (measured 21s → 7s on the flagship join at sf0.1;
+    per-batch granularity is separately pinned by the streaming unit
+    tests)."""
     path = os.path.join(tempfile.mkdtemp(prefix=f"ehb-stream-{tag}-"), "data")
     wire_df.repartition(n_files).write.mode("overwrite").parquet(path)
-    return stream_parquet_dir(spark, path, _WIRE_SCHEMA, max_files_per_trigger=1)
+    return stream_parquet_dir(spark, path, _WIRE_SCHEMA, max_files_per_trigger=2)
 
 
 @register(
@@ -105,7 +109,7 @@ def q_stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         path,
         StructType.fromDDL("ts timestamp, event_type string, value double"),
-        max_files_per_trigger=1,
+        max_files_per_trigger=2,
     )
     agg = windowed_quality(stream, ts_col="ts", window_size="1 day")
     return run_to_memory(spark, agg, output_mode="complete")
@@ -166,3 +170,46 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stream.dropDuplicates(["event_id"])
     return run_to_memory(spark, deduped, output_mode="append")
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+        WITH risk AS (
+            SELECT {_SQL_EMAIL_FROM_USER} AS customer,
+                   CAST(value AS FLOAT) AS score
+            FROM events
+        ),
+        dim AS (
+            SELECT {_SQL_EMAIL_FROM_CUST} AS email,
+                   c_mktsegment
+            FROM customer
+        )
+        SELECT r.customer, r.score, d.c_mktsegment
+        FROM risk r JOIN dim d ON r.customer = d.email
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the streaming risk feed enriched against the
+    static customer dimension — no state store at all (the static side
+    is joined per micro-batch, broadcast when small). The third join
+    flavor next to batch-batch and stream-stream; at scale this is the
+    dimension-enrichment pattern where only the stream shuffles."""
+    from ..sources.testdata import load_table
+
+    risk_stream = stedi.parse_risk_events(
+        _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), "enrich")
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lit("customer_"),
+            F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+            F.lit("@example.com"),
+        ).alias("email"),
+        "c_mktsegment",
+    )
+    enriched = risk_stream.join(
+        F.broadcast(dim), risk_stream["customer"] == dim["email"]
+    ).select("customer", "score", "c_mktsegment")
+    return run_to_memory(spark, enriched)
