@@ -452,3 +452,40 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("user_a", "user_b", "cosine")
     )
+
+
+@register(
+    "q_ranking_battery",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist,
+               FIRST_VALUE(event_id) OVER w AS first_event,
+               LAG(event_id, 1, -1) OVER w AS prev_event
+        FROM events
+        WHERE user_id % 10 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+    """,
+    tags=("window-function",),
+)
+def q_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic ranking surface over one window spec:
+    dense_rank, ntile, percent_rank, cume_dist, first_value, lag with
+    default. One shuffle + one sort serves all six functions (Spark
+    computes same-spec window functions in a single Window operator)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.lag("event_id", 1, -1).over(w).alias("prev_event"),
+    )
