@@ -221,3 +221,43 @@ def stedi_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM CustomerRisk JOIN EmailAndBirthYear ON customer = email
         """
     )
+
+
+@register(
+    "stedi_corruption_accounting",
+    oracle="""
+        SELECT COUNT(*) AS wire_rows,
+               CAST(SUM(CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS decoded_rows,
+               CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS corrupt_rows
+        FROM customer
+    """,
+    tags=("parity", "data-quality"),
+)
+def stedi_corruption_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality accounting through the decode chain: every 7th
+    customer's envelope is replaced with a non-JSON payload before
+    decoding. PERMISSIVE from_json + try_to_binary turn corruption into
+    nulls (never a crashed stream — the SURVEY §7 hard requirement);
+    this query proves the engine also COUNTS what it dropped, because
+    silent data loss at 100 TB is unfindable after the fact."""
+    wire = stedi_customers_wire(spark, sf_dir)
+    # Deterministically corrupt every 7th record (keyed on the custkey
+    # recovered from the inner payload before corruption).
+    custkey = F.unbase64(
+        F.get_json_object(F.col("value"), "$.zSetEntries[0].element")
+    ).cast("string")
+    custkey_num = F.regexp_extract(custkey, r"customer_(\d+)@", 1).cast("bigint")
+    corrupted_wire = wire.select(
+        F.when(custkey_num % 7 == 0, F.concat(F.lit("corrupt!"), custkey_num.cast("string")))
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    # decode WITHOUT the not-null filter, then one aggregation pass:
+    # corruption nulls out every decoded field, so count(email) counts
+    # the survivors and the difference is the drop tally.
+    decoded = stedi.decode_customers(corrupted_wire)
+    return decoded.agg(
+        F.count(F.lit(1)).alias("wire_rows"),
+        F.count("email").alias("decoded_rows"),
+        (F.count(F.lit(1)) - F.count("email")).alias("corrupt_rows"),
+    )

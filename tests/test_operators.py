@@ -220,3 +220,16 @@ def test_resize_payload_deterministic_stride(spark):
     short = docs_df(spark, [(2, "tiny", "a")])
     out2 = resize_payload(attach_binary_payload(short, "text", "doc_id"), 64).first()
     assert bytes(out2.resized) == b"tiny"  # under budget passes through
+
+
+def test_kafka_binding_options():
+    from evaluate_human_balance_with_spark_streaming_spark.sources.kafka import (
+        kafka_sink_options,
+    )
+
+    opts = kafka_sink_options("stedi-risk", "/tmp/ckpt", "kafka:19092")
+    assert opts == {
+        "kafka.bootstrap.servers": "kafka:19092",
+        "topic": "stedi-risk",
+        "checkpointLocation": "/tmp/ckpt",
+    }
