@@ -489,3 +489,73 @@ def q_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event"),
         F.lag("event_id", 1, -1).over(w).alias("prev_event"),
     )
+
+
+@register(
+    "q_orders_never_returned",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+    """,
+    tags=("anti-join", "agg"),
+)
+def q_orders_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join (Catalyst's native strategy) —
+    orders with no returned line item. The anti join shuffles once on
+    the order key and never multiplies rows."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_price_band_classification",
+    oracle="""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('budget', 0.0, 20000.0),
+                   ('mid', 20000.0, 60000.0),
+                   ('premium', 60000.0, 1e12)
+        )
+        SELECT b.band, COUNT(*) AS n_orders,
+               ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))::DOUBLE, 4) AS total_value
+        FROM orders o
+        JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+    """,
+    tags=("range-join", "agg"),
+)
+def q_price_band_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: each order lands in the band
+    whose [lo, hi) contains its price. The band table is a broadcast
+    literal, so the non-equi condition runs as a BroadcastNestedLoop
+    over 3 rows — the right plan when one side is tiny; for two large
+    interval sets, bucketize the ranges first (turns it back into an
+    equi-join)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = o.sparkSession.createDataFrame(
+        [("budget", 0.0, 20000.0), ("mid", 20000.0, 60000.0), ("premium", 60000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o["o_totalprice"] >= bands["lo"]) & (o["o_totalprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
