@@ -255,3 +255,26 @@ def test_job_entrypoints_importable_and_wired():
         tree = ast.parse(j.read_text())
         funcs = {n.name for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)}
         assert "main" in funcs, j
+
+
+def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
+    """The 100 TB substitutes for exact distinct/percentile: HLL and
+    t-digest sketches land within their documented error envelopes
+    (these can never hash-match a different engine, hence unit-tested
+    here rather than oracle-checked)."""
+    from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    exact_users = e.select("user_id").distinct().count()
+    approx_users = e.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("a")
+    ).first().a
+    assert abs(approx_users - exact_users) / exact_users < 0.15
+
+    exact_p50 = e.agg(F.expr("percentile(value, 0.5)").alias("p")).first().p
+    approx_p50 = e.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p")
+    ).first().p
+    assert abs(approx_p50 - exact_p50) <= max(0.05 * abs(exact_p50), 1.0)

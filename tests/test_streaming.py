@@ -298,3 +298,43 @@ def test_pipelines_tolerate_empty_input(spark):
     assert stedi.customer_pipeline(empty).count() == 0
     assert stedi.parse_risk_events(empty).count() == 0
     assert stedi.flagship_pipeline(empty, empty).count() == 0
+
+
+def test_streaming_session_window_emits_closed_session(spark):
+    """session_window on a stream (append + watermark): a session
+    closes once the watermark passes its end and emits exactly once."""
+    import datetime as dt
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batches = [
+        [("u1", base), ("u1", base + dt.timedelta(minutes=10))],  # one session
+        [("u1", base + dt.timedelta(hours=3))],                   # advances time
+        [("u1", base + dt.timedelta(hours=3, minutes=1))],        # passes watermark
+        [("u1", base + dt.timedelta(hours=3, minutes=2))],        # triggers eviction batch
+    ]
+    path = _os.path.join(_tf.mkdtemp(prefix="ehb-sess-"), "data")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "user_id string, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite" if i == 0 else "append").parquet(path)
+        _time.sleep(1.5)
+    stream = stream_parquet_dir(
+        spark,
+        path,
+        StructType.fromDDL("user_id string, ts timestamp"),
+        max_files_per_trigger=1,
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.date_format("w.start", "HH:mm").alias("start"), "n")
+    )
+    out = run_to_memory(spark, agg, output_mode="append")
+    rows = {(r.user_id, r.start): r.n for r in out.collect()}
+    # The 00:00 session (2 events, merged by the 30-min gap) closed and
+    # emitted; the 03:00 session is still open → absent.
+    assert rows == {("u1", "00:00"): 2}
