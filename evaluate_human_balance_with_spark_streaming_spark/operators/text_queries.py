@@ -377,3 +377,63 @@ def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "text_curation_pipeline",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS alpha_ratio,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE
+                       / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                       AS stop_ratio
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text, n_tokens
+            FROM scored
+            WHERE n_tokens >= 20 AND alpha_ratio >= 0.6 AND stop_ratio > 0.08
+        ),
+        deduped AS (
+            SELECT MIN(doc_id) AS doc_id, MAX(n_tokens) AS n_tokens
+            FROM kept
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        )
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens
+        FROM deduped
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+    """,
+    tags=("text", "pipeline", "capstone"),
+)
+def q_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composite a training-data job
+    actually runs: quality gate (length + alphabetic ratio) → language
+    gate (stopword heuristic) → exact dedup (keep min id per normalized
+    fingerprint) → deterministic 50% sample. Single declarative plan:
+    Catalyst fuses the three row-local gates into one scan pass, the
+    dedup is the only shuffle, the sample is a post-aggregation filter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = with_stopword_ratio(d, "text").withColumn("n_tokens", n_tokens)
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (alpha_ratio >= 0.6)
+        & (F.col("stopword_ratio") > 0.08)
+    )
+    deduped = (
+        kept.groupBy(fingerprint_md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.max("n_tokens").alias("n_tokens"))
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 2
+    return deduped.filter(bucket == 0).select("doc_id", "n_tokens")
