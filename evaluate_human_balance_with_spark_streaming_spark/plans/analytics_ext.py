@@ -92,9 +92,9 @@ def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot_segment_status",
     oracle="""
         SELECT c.c_mktsegment,
-               SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-               SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-               SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,

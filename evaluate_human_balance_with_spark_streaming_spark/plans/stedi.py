@@ -35,7 +35,7 @@ def decode_customers(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
     Input: one column (default ``value``, binary or string) holding the
     JSON envelope from the ``redis-server`` topic. Output: the parsed
-    inner customer document columns (customer, score, email, birthDay),
+    inner customer document columns (customer, email, phone, birthDay),
     where ``customer`` is null by the reference's schema-mismatch quirk.
 
     Chain (reference sparkpykafkajoin.py:72-135): cast → from_json with

@@ -193,7 +193,7 @@ def stedi_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT from_json(
                    CAST(try_to_binary(encodedCustomer, 'base64') AS STRING),
-                   'customer string, score string, email string, birthDay string'
+                   'customer string, email string, phone string, birthDay string'
                ) AS customer
         FROM EncodedCustomer
         """

@@ -57,13 +57,15 @@ REDIS_SCHEMA = StructType(
 )
 
 # Inner customer document (base64-decoded zSetEntries[0].element).
-# Reference declaration: sparkpykafkajoin.py:37-44. `customer` is the
-# deliberate mismatch for wire field `customerName`.
+# Reference declaration: sparkpykafkajoin.py:37-44 — exactly
+# (customer, email, phone, birthDay). `customer` is the deliberate
+# mismatch for wire field `customerName` (parses to null), so only
+# email/phone/birthDay survive the decode.
 CUSTOMER_SCHEMA = StructType(
     [
         StructField("customer", StringType()),
-        StructField("score", StringType()),
         StructField("email", StringType()),
+        StructField("phone", StringType()),
         StructField("birthDay", StringType()),
     ]
 )

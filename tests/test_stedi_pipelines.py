@@ -68,6 +68,28 @@ def test_customer_name_field_mismatch_quirk(spark):
     assert decoded[0].email == "a@b.c"
 
 
+def test_decoded_columns_match_reference_schema(spark):
+    """decode_customers yields exactly the reference's customerSchema
+    columns (customer, email, phone, birthDay — sparkpykafkajoin.py:37-44);
+    phone survives the decode, customerName does not."""
+    raw = wire_df(
+        spark,
+        [
+            envelope(
+                {
+                    "customerName": "X",
+                    "email": "a@b.c",
+                    "phone": "8015551212",
+                    "birthDay": "1990-05-01",
+                }
+            )
+        ],
+    )
+    decoded = stedi.decode_customers(raw)
+    assert decoded.columns == ["customer", "email", "phone", "birthDay"]
+    assert decoded.collect()[0].phone == "8015551212"
+
+
 def test_missing_fields_filtered(spark):
     raw = wire_df(
         spark,
