@@ -44,6 +44,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _wrap(fn: registry.QueryFn) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from evaluate_human_balance_with_spark_streaming_spark.caching import (
+            release_managed,
+        )
+
+        # Free persist barriers left by the PREVIOUS (already-evaluated)
+        # query so caches don't accumulate across a 50-query session.
+        release_managed()
         apply_runtime_conf(spark)
         return fn(spark, sf_dir)
 

@@ -32,21 +32,65 @@ HEADLINE = [
     "q_pricing_summary",
     "q_top_revenue_orders",
     "q_nation_volume",
-    "q_top_events_per_user",
+    "q_ranking_battery",
     "q_user_sessions_gap",
     "q_session_window_stats",
     "q_asof_click_before_purchase",
     "q_risk_per_customer",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
-    "text_quality_score",
-    "text_bpe_token_estimate",
+    "text_stats_battery",
     "mm_frame_sample",
+    "mm_pandas_features",
     "stream_flagship_join",
+    "stream_flagship_join_watermarked",
 ]
+
+# Per-query regression gate: compare against the newest recorded
+# BENCH_r{N}.json (the standing baseline per VERDICT r01 §Perf) and
+# flag >2x per-query slowdowns — the suite is fixed-cost dominated, so
+# a single regressed query can hide inside a healthy total.
+REGRESSION_FACTOR = 2.0
+
+
+def _baseline_timings() -> dict[str, float]:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {}
+    try:
+        with open(benches[-1]) as f:
+            return json.load(f).get("queries", {}) or {}
+    except Exception:
+        return {}
+
+
+def _streaming_warmup(spark) -> None:
+    import tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+        stream_parquet_dir,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        run_to_memory,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ehb-bench-warm-"), "data")
+    spark.range(8).write.mode("overwrite").parquet(path)
+    schema = StructType([StructField("id", LongType())])
+    stream = stream_parquet_dir(spark, path, schema, max_files_per_trigger=4)
+    run_to_memory(spark, stream.groupBy().count(), output_mode="complete").count()
 
 
 def main() -> int:
@@ -58,8 +102,17 @@ def main() -> int:
     qs = entrymod.queries()
     spark = get_spark("ehb-bench")
 
-    # Warmup: touch the fact table so JVM/codegen init doesn't bill q1.
+    # Warmup: touch the fact table so JVM/codegen init doesn't bill q1,
+    # and run one tiny availableNow stream so streaming machinery
+    # (micro-batch scheduler, state-store provider, checkpoint I/O)
+    # JITs before the first timed stream_* query — measured ~2-3x
+    # cold-start penalty on whichever streaming query runs first.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    _streaming_warmup(spark)
+
+    from evaluate_human_balance_with_spark_streaming_spark.caching import (
+        release_managed,
+    )
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -73,6 +126,22 @@ def main() -> int:
         timings[name] = dt
         total += dt
         print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+    release_managed()
+
+    baseline = _baseline_timings()
+    regressions = {
+        name: {"now": dt, "baseline": baseline[name]}
+        for name, dt in timings.items()
+        if name in baseline
+        and baseline[name] > 0
+        and dt > REGRESSION_FACTOR * baseline[name]
+    }
+    for name, r in regressions.items():
+        print(
+            f"# REGRESSION {name}: {r['now']}s vs baseline {r['baseline']}s "
+            f"(>{REGRESSION_FACTOR}x)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -82,9 +151,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        return 1
     return 0
 
 

@@ -1,0 +1,44 @@
+"""Session-scoped persist lifecycle management.
+
+Several operators persist intermediate DataFrames as deliberate
+optimization barriers (e.g. the MinHash shingle table — see
+operators/dedup.py::with_minhash for the measured 21× CollapseProject
+trap). Those caches must outlive plan construction (the driver
+evaluates the returned DataFrame later), so the operator cannot
+unpersist them itself — but across a 60-query correctness/bench
+session they would otherwise accumulate until LRU eviction churns.
+
+``managed_persist`` registers each cache in a session-global list;
+``release_managed`` (called by the query wrapper in __spark_entry__
+before each new query, and by bench.py between queries) frees every
+cache belonging to ALREADY-EVALUATED earlier queries. At 100 TB the
+same role is played by materialized intermediate tables with explicit
+lifecycle (drop after the consuming stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_MANAGED: list[DataFrame] = []
+
+
+def managed_persist(df: DataFrame) -> DataFrame:
+    """persist() a DataFrame and track it for deferred release."""
+    out = df.persist()
+    _MANAGED.append(out)
+    return out
+
+
+def release_managed(blocking: bool = False) -> int:
+    """Unpersist every tracked cache (safe on never-materialized or
+    already-unpersisted frames). Returns the number released."""
+    n = 0
+    while _MANAGED:
+        df = _MANAGED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import managed_persist
 from ..functions.hashing import band_key, minhash_signature, simhash32
 from ..functions.text import fingerprint_md5, normalize_text, tokens, word_shingles
 from ..plans.partitioning import ensure_min_partitions
@@ -61,7 +62,9 @@ def with_minhash(
     #    the equivalent is materializing the shingle table once.
     df = ensure_min_partitions(df)
     sh = word_shingles(F.col(text_col), shingle_n)
-    out = df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0).persist()
+    out = managed_persist(
+        df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0)
+    )
     sig = minhash_signature(F.col("_shingles"), num_hashes)
     for i, c in enumerate(sig):
         out = out.withColumn(f"mh{i}", c)
@@ -70,8 +73,9 @@ def with_minhash(
     # hash expressions are interpreted (no codegen), so recomputing
     # them per consumer measured 3-4× the whole pipeline. Populating
     # this cache reads the shingle cache above, so each barrier is
-    # computed exactly once.
-    return out.persist()
+    # computed exactly once. Both caches are managed_persist-tracked:
+    # released after the consuming query is evaluated (caching.py).
+    return managed_persist(out)
 
 
 def minhash_lsh_pairs(
@@ -188,6 +192,80 @@ def with_simhash(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via hamming-distance band bucketing.
+
+    The standard scale path for SimHash: split the 32-bit signature
+    into ``bands`` contiguous chunks (4 bands × 8 bits). By pigeonhole,
+    any two signatures within hamming distance ``bands - 1`` (≤ 3
+    differing bits over 4 chunks) agree EXACTLY on at least one chunk —
+    so the banded candidate join finds every qualifying pair, and the
+    all-pairs oracle can certify zero recall loss. Candidates sharing a
+    (band, chunk-value) bucket are verified with
+    bit_count(xor) <= max_hamming.
+
+    Candidate generation runs on slim (id, simhash, band, bkey) rows —
+    the equi-join shuffles short keys only, never text; a hot bucket
+    (e.g. the all-zeros chunk) salts like any skewed join key.
+
+    Requires ``max_hamming <= bands - 1`` for the completeness
+    guarantee; returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} bands "
+            "for the pigeonhole completeness guarantee"
+        )
+    bits_per_band = 32 // bands
+    mask = (1 << bits_per_band) - 1
+    # Persist barrier on the slim (id, simhash) table: the banded
+    # self-join consumes it on BOTH sides, and the 32 interpreted
+    # aggregate() folds per row would otherwise run twice (measured
+    # 22.8s → signature-once cost at sf0.1). Same rationale as
+    # with_minhash; released by the query wrapper after evaluation.
+    sig = managed_persist(with_simhash(df, text_col).select(F.col(id_col), "simhash"))
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bkey")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bkey"
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -296,7 +374,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     oracle="""
         WITH toks AS (
             SELECT doc_id,
@@ -312,20 +390,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN 1 ELSE -1 END) AS contrib
             FROM toks, (SELECT unnest(range(0, 32)) AS j) bits
             GROUP BY doc_id, j
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM contribs
+            GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN contrib > 0 THEN 1::BIGINT << j ELSE 0 END)
-                    AS BIGINT) AS simhash
-        FROM contribs
-        GROUP BY doc_id
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     tags=("dedup", "simhash"),
 )
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (bigint) — the per-doc signature used
-    for hamming-distance bucketing at scale."""
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 32-bit signature per document, 4×8-bit
+    hamming band bucketing for candidates, bit_count(xor) <= 3 verify.
+    The oracle computes the same signatures but filters ALL pairs
+    directly — the banded result matching it certifies the pigeonhole
+    banding loses no qualifying pair (zero recall loss)."""
     d = load_table(spark, sf_dir, "documents")
-    return with_simhash(d, "text").select("doc_id", "simhash")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3, bands=4)
 
 
 @register(
@@ -496,13 +583,15 @@ def q_dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components — the step that turns pairwise matches into
     keep-one-per-group dedup decisions. The oracle replays the whole
     pipeline including the graph closure (recursive CTE)."""
-    pairs = minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        "text",
-        "doc_id",
-        num_hashes=16,
-        bands=4,
-        shingle_n=3,
-        jaccard_threshold=0.5,
-    ).persist()
+    pairs = managed_persist(
+        minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            num_hashes=16,
+            bands=4,
+            shingle_n=3,
+            jaccard_threshold=0.5,
+        )
+    )
     return connected_components(pairs)

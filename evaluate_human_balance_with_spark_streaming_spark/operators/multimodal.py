@@ -166,19 +166,6 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(d, "text", "doc_id"))
 
 
-@register(
-    "mm_feature_extract",
-    oracle=None,  # pandas-UDF path; driver records rows-only check
-    tags=("multimodal", "pandas-udf"),
-)
-def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched (mapInPandas) feature extraction — deterministic
-    fake features behind the decode stub. Not SQL-expressible (Python
-    feature fn); correctness pinned by unit tests instead."""
-    d = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(d, "text", "doc_id"))
-
-
 RESIZE_SCHEMA = "id bigint, resized binary, out_len int"
 
 
@@ -210,15 +197,92 @@ def resize_payload(df: DataFrame, target_bytes: int = 64) -> DataFrame:
     return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
+PANDAS_FEATURE_SCHEMA = (
+    "id bigint, byte_len int, mean_byte double, feature_crc string, "
+    "out_len int, resized_md5 string"
+)
+
+
+def featurize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Feature extraction AND resize in ONE Arrow-batched pass — at
+    scale you never run two mapInPandas stages over the same payloads
+    when one pass computes both (payload bytes cross the JVM↔Arrow
+    boundary once). Emits deterministic features (mean byte, md5
+    prefix) plus the stride-resize digest, all oracle-reproducible
+    because payloads here are utf-8 text."""
+    import hashlib
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                decode_payload(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            resized = []
+            for raw in payloads:
+                if len(raw) <= target_bytes:
+                    resized.append(raw)
+                else:
+                    stride = len(raw) / target_bytes
+                    resized.append(
+                        bytes(raw[int(i * stride)] for i in range(target_bytes))
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "byte_len": [len(p) for p in payloads],
+                    "mean_byte": [
+                        (sum(p) / len(p)) if len(p) else 0.0 for p in payloads
+                    ],
+                    "feature_crc": [
+                        hashlib.md5(p).hexdigest()[:8] for p in payloads
+                    ],
+                    "out_len": [len(r) for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.mapInPandas(featurize, schema=PANDAS_FEATURE_SCHEMA)
+
+
 @register(
-    "mm_resize",
-    oracle=None,  # pandas-UDF body; rows-only check + unit-test pinning
+    "mm_pandas_features",
+    oracle="""
+        SELECT doc_id AS id,
+               CAST(length(text) AS INTEGER) AS byte_len,
+               ROUND(list_aggregate(
+                   list_transform(range(1, length(text) + 1),
+                                  i -> unicode(substr(text, i, 1))),
+                   'sum')::DOUBLE / length(text), 6) AS mean_byte,
+               substr(md5(text), 1, 8) AS feature_crc,
+               CAST(least(length(text), 64) AS INTEGER) AS out_len,
+               md5(CASE WHEN length(text) <= 64 THEN text
+                   ELSE array_to_string(
+                       list_transform(range(0, 64),
+                           i -> substr(text,
+                                       CAST(floor(i * (length(text) / 64.0)) AS INTEGER) + 1,
+                                       1)),
+                       '') END) AS resized_md5
+        FROM documents
+    """,
     tags=("multimodal", "pandas-udf"),
 )
-def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched payload resize to a 64-byte budget (stride
-    sampling standing in for image thumbnailing)."""
+def q_mm_pandas_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched (mapInPandas) feature-extract + resize pass,
+    HASH-CHECKED: because the stub payloads are utf-8 text of ASCII
+    documents, every Python-computed feature (mean byte, md5 prefix,
+    stride-resize digest) has an exact relational twin the DuckDB
+    oracle replays byte-for-byte — upgrading this Python seam from a
+    rows-only check to a full value-hash certification. Python float
+    division and DuckDB double division share IEEE semantics; the
+    stride index int(i*stride) is floor() on both sides."""
     d = load_table(spark, sf_dir, "documents")
-    return resize_payload(attach_binary_payload(d, "text", "doc_id")).select(
-        "id", "out_len"
+    feats = featurize_payloads(attach_binary_payload(d, "text", "doc_id"))
+    return feats.select(
+        "id",
+        "byte_len",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "feature_crc",
+        "out_len",
+        "resized_md5",
     )

@@ -24,10 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import managed_persist
 from ..functions.vectors import cosine_similarity
 from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table
+
+# Vector width of the embeddings fixture (TESTDATA.md); the ivf oracle's
+# range(1, EMBEDDING_DIM+1) and the Spark centroid build share this.
+EMBEDDING_DIM = 64
 
 
 def brute_force_topk(
@@ -57,14 +62,13 @@ def brute_force_topk(
     ).withColumn("qn", l2_norm(F.col("qv")))
     # |Q|×|corpus| interpreted dot products is the hot loop; a corpus
     # read from one small parquet file would run it on one core.
-    c = (
+    c = managed_persist(
         ensure_min_partitions(corpus)
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
         .withColumn("cn", l2_norm(F.col("cv")))
-        .persist()
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -88,6 +92,14 @@ def brute_force_topk(
     )
 
 
+def _infer_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Fallback vector-width sniff (one driver-side action). Prefer
+    passing ``dim`` explicitly — array columns carry no length in the
+    parquet schema, so inference costs a job and silently assumes
+    uniform dims."""
+    return len(corpus.select(vec_col).first()[0])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,15 +107,20 @@ def ivf_topk(
     id_col: str,
     cell_col: str,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroids = per-cell mean vectors; each query is
     assigned to its nearest centroid (n_probe=1) and searched only
     within that cell. The centroid table is tiny → broadcast twice
     (assignment + probe); the candidate join is an equi-join on cell.
+
+    ``dim`` is the vector width (e.g. 64 for the embeddings fixture);
+    pass it explicitly so plan construction stays action-free and the
+    oracle's range(1, dim+1) shares the same source of truth.
     """
     from ..functions.vectors import dot_product, l2_norm
 
-    c = (
+    c = managed_persist(
         ensure_min_partitions(corpus)
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -111,10 +128,12 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
         .withColumn("cn", l2_norm(F.col("cv")))
-        .persist()
     )
-    # Per-dimension mean via aggregate-of-arrays: zip_with running sums.
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        # Read the vector width from table metadata only as a fallback;
+        # callers should pass `dim` (single source of truth shared with
+        # the oracle) — a .first() here would run a job per plan build.
+        dim = _infer_dim(corpus, vec_col)
     centroids = c.groupBy("cell").agg(
         F.array(
             *[F.avg(F.col("cv").getItem(i)).alias(f"d{i}") for i in range(dim)]
@@ -241,7 +260,11 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed top-5: per-label centroids as the coarse quantizer,
-    n_probe=1 — the bounded-candidate scale path for ANN."""
+    n_probe=1 — the bounded-candidate scale path for ANN. EMBEDDING_DIM
+    is the single source of truth shared with the oracle's
+    range(1, 65)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
-    return ivf_topk(emb, queries, "embedding", "vec_id", "label", k=5)
+    return ivf_topk(
+        emb, queries, "embedding", "vec_id", "label", k=5, dim=EMBEDDING_DIM
+    )

@@ -81,52 +81,54 @@ def with_stopword_ratio(df: DataFrame, text_col: str) -> DataFrame:
 
 
 @register(
-    "text_token_count",
-    oracle="""
-        SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
-               CAST(length(text) AS INTEGER) AS n_chars_computed
-        FROM documents
-    """,
-    tags=("text",),
-)
-def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + char count per document."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
-        F.length("text").alias("n_chars_computed"),
-    )
-
-
-@register(
-    "text_quality_score",
-    oracle="""
-        WITH stats AS (
-            SELECT doc_id,
+    "text_stats_battery",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang, text,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                    length(text) AS n_chars,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-                   length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace
+                   length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS w
             FROM documents
         )
         SELECT doc_id,
                CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(n_chars AS INTEGER) AS n_chars_computed,
+               CAST(len(list_filter(
+                   string_split(
+                       regexp_replace(text,
+                           '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])',
+                           '\\1' || chr(1), 'g'),
+                       chr(1)),
+                   t -> trim(t) <> '')) AS INTEGER) AS bpe_tokens,
                ROUND(alpha::DOUBLE / greatest(n_chars, 1), 6) AS alpha_ratio,
                ROUND(nonspace::DOUBLE / n_tokens, 6) AS avg_word_len,
                ROUND(
                    least(n_tokens, 100) / 100.0 * 0.5
                    + (alpha::DOUBLE / greatest(n_chars, 1)) * 0.5, 6
-               ) AS quality
-        FROM stats
+               ) AS quality,
+               lang AS label_lang,
+               CASE WHEN len(list_filter(w, t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE
+                         / greatest(len(w), 1) > 0.08
+                    THEN 'en' ELSE 'other' END AS predicted_lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM base
     """,
-    tags=("text", "quality"),
+    tags=("text", "quality", "langid", "tokenizer", "fingerprint", "battery"),
 )
-def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: length credit (tokens capped at 100)
-    blended with alphabetic-character ratio — the shape of a fastText-
-    style quality prior, in pure expressions."""
+def q_text_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis sweep in ONE scan pass: whitespace
+    + BPE-ish token counts, char count, alphabetic/avg-word-length
+    ratios, a fastText-style quality prior, the stopword language-ID
+    heuristic, and the normalized md5 fingerprint (the exact-dedup key).
+
+    One query instead of five single-stat queries because that is how a
+    100 TB sweep actually runs: every column is a row-local expression,
+    so Catalyst fuses them into a single WholeStageCodegen over one
+    parquet scan — N stats for the I/O cost of one. (The individual
+    operators remain available as with_text_stats/with_stopword_ratio.)
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -134,84 +136,24 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
     nonspace = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
     alpha_ratio = alpha.cast("double") / F.greatest(n_chars, F.lit(1))
-    return d.select(
+    stats = with_text_stats(d, "text")
+    scored = with_stopword_ratio(stats, "text")
+    return scored.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        "bpe_tokens",
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(nonspace.cast("double") / n_tokens, 6).alias("avg_word_len"),
         F.round(
             F.least(n_tokens, F.lit(100)) / 100.0 * 0.5 + alpha_ratio * 0.5, 6
         ).alias("quality"),
-    )
-
-
-@register(
-    "text_lang_id",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, lang,
-                   regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-            FROM documents
-        )
-        SELECT doc_id, lang AS label_lang,
-               CASE WHEN len(list_filter(w, t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE
-                         / greatest(len(w), 1) > 0.08
-                    THEN 'en' ELSE 'other' END AS predicted_lang
-        FROM toks
-    """,
-    tags=("text", "langid"),
-)
-def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language heuristic: predict 'en' when >8% of
-    tokens are common English stopwords. (A real system swaps in a
-    trained n-gram profile per language; the operator shape — per-row
-    expression, no shuffle — is identical.)"""
-    d = load_table(spark, sf_dir, "documents")
-    scored = with_stopword_ratio(d, "text")
-    return scored.select(
-        "doc_id",
         F.col("lang").alias("label_lang"),
         F.when(F.col("stopword_ratio") > 0.08, F.lit("en"))
         .otherwise(F.lit("other"))
         .alias("predicted_lang"),
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
     )
-
-
-@register(
-    "text_fingerprint",
-    oracle="""
-        SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-        FROM documents
-    """,
-    tags=("text", "fingerprint"),
-)
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized md5 fingerprint per document (the exact-dedup key)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
-
-
-@register(
-    "text_bpe_token_estimate",
-    oracle="""
-        SELECT doc_id,
-               CAST(len(list_filter(
-                   string_split(
-                       regexp_replace(text,
-                           '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])',
-                           '\\1' || chr(1), 'g'),
-                       chr(1)),
-                   t -> trim(t) <> '')) AS INTEGER) AS bpe_tokens
-        FROM documents
-    """,
-    tags=("text", "tokenizer"),
-)
-def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-tokenizer segment count (words | numbers | symbols) — a
-    tokenizer-independent token-budget estimate."""
-    d = load_table(spark, sf_dir, "documents")
-    return with_text_stats(d, "text").select("doc_id", "bpe_tokens")
 
 
 @register(
@@ -327,31 +269,13 @@ def q_text_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_deterministic_sample",
+    "text_sampling_battery",
     oracle="""
-        SELECT doc_id, lang, source
+        SELECT 'hash10' AS method, doc_id, lang
         FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
-    """,
-    tags=("sampling",),
-)
-def q_text_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~10% sample keyed on a hash of the id — the
-    reproducible alternative to rand() sampling for training-data
-    curation: stable across runs, engines, partitionings, and re-runs
-    over grown datasets (a doc's membership never flips). Purely a
-    filter — no shuffle, pushes to the scan boundary."""
-    d = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
-    return d.filter(bucket < 10).select("doc_id", "lang", "source")
-
-
-@register(
-    "text_stratified_sample",
-    oracle="""
-        SELECT doc_id, lang FROM (
+        UNION ALL
+        SELECT 'strat20' AS method, doc_id, lang FROM (
             SELECT doc_id, lang,
                    ROW_NUMBER() OVER (
                        PARTITION BY lang
@@ -359,24 +283,40 @@ def q_text_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ) WHERE rn <= 20
     """,
-    tags=("sampling", "stratified"),
+    tags=("sampling", "stratified", "battery"),
 )
-def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: up to 20 docs per language, chosen by hash
-    order (deterministic shuffle) — per-class balancing for training
-    mixes. One shuffle on the stratum key; WindowGroupLimit caps each
-    partition before the exchange."""
+def q_text_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both reproducible sampling operators, tagged by method:
+
+    - ``hash10``: deterministic ~10% sample keyed on a hash of the id —
+      the reproducible alternative to rand(): stable across runs,
+      engines, partitionings, and re-runs over grown datasets (a doc's
+      membership never flips). Purely a filter — no shuffle, pushed to
+      the scan boundary.
+    - ``strat20``: stratified sample, up to 20 docs per language in
+      hash order (deterministic shuffle) — per-class balancing for
+      training mixes. One shuffle on the stratum key; WindowGroupLimit
+      caps each partition before the exchange.
+    """
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    hash10 = (
+        d.filter(bucket < 10)
+        .select(F.lit("hash10").alias("method"), "doc_id", "lang")
+    )
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    return (
+    strat20 = (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
-        .select("doc_id", "lang")
+        .select(F.lit("strat20").alias("method"), "doc_id", "lang")
     )
+    return hash10.unionAll(strat20)
 
 
 @register(

@@ -272,32 +272,16 @@ def q_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_top_events_per_user",
-    oracle="""
-        SELECT user_id, event_id, value AS score
-        FROM (
-            SELECT user_id, event_id, value,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY user_id
-                       ORDER BY value DESC, event_id ASC
-                   ) AS rn
-            FROM events
-        ) WHERE rn <= 3
-    """,
-    tags=("window-function",),
-)
-def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window function: per-user top-3 events by value.
-    ROW_NUMBER with a unique tiebreaker (event_id) is deterministic;
-    partitioning shuffles once on user_id."""
+def top_events_per_user(df: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user top-k events by value (row_number + unique tiebreaker).
+    Registry coverage: the row_number top-k pattern is exercised by
+    q_ranking_battery (rnum column) and text_sampling_battery."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
         .select("user_id", "event_id", F.col("value").alias("score"))
     )
 
@@ -343,79 +327,6 @@ def q_user_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
-    )
-
-
-@register(
-    "q_clickers_not_purchasers",
-    oracle="""
-        SELECT user_id FROM events WHERE event_type = 'click'
-        EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-    tags=("set-op",),
-)
-def q_clickers_not_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (EXCEPT DISTINCT) — users who click but never buy."""
-    e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id")
-    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicks.subtract(buys)
-
-
-@register(
-    "q_order_priority_counts",
-    oracle="""
-        SELECT o_orderpriority, COUNT(*) AS order_count
-        FROM orders
-        WHERE EXISTS (
-            SELECT 1 FROM lineitem
-            WHERE l_orderkey = o_orderkey AND l_discount > 0.05
-        )
-        GROUP BY o_orderpriority
-    """,
-    tags=("semi-join", "agg"),
-)
-def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Existential subquery as a LEFT SEMI join (Catalyst's native
-    strategy for EXISTS) — no row multiplication, one shuffle."""
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    discounted = l.filter(F.col("l_discount") > 0.05).select("l_orderkey")
-    return (
-        o.join(discounted, o["o_orderkey"] == discounted["l_orderkey"], "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@register(
-    "q_rollup_sales",
-    oracle="""
-        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-               COALESCE(l_linestatus, 'ALL') AS linestatus,
-               ROUND(SUM(l_extendedprice), 4) AS total_price,
-               COUNT(*) AS n_rows
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    tags=("agg", "rollup"),
-)
-def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (flag → flag×status → grand total)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "total_price",
-            "n_rows",
-        )
     )
 
 

@@ -21,71 +21,101 @@ from .registry import register
 
 
 @register(
-    "q_union_engaged_users",
+    "q_set_ops_battery",
     oracle="""
-        SELECT user_id FROM events WHERE event_type = 'click'
-        UNION
-        SELECT user_id FROM events WHERE event_type = 'purchase'
+        SELECT 'union' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT 'intersect' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT 'except' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
     """,
-    tags=("set-op",),
+    tags=("set-op", "battery"),
 )
-def q_union_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION DISTINCT of two filtered scans."""
+def q_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANSI set operations over the same two filtered scans,
+    tagged by op: UNION DISTINCT (engaged users), INTERSECT DISTINCT
+    (users in both populations), EXCEPT DISTINCT (clickers who never
+    buy). Each op is one hash shuffle on the full row; Catalyst plans
+    INTERSECT/EXCEPT as left-semi/left-anti aggregates — no row
+    multiplication anywhere."""
     e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("user_id")
     buys = e.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicks.union(buys).distinct()
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "user_id")
+
+    return (
+        tag(clicks.union(buys).distinct(), "union")
+        .unionAll(tag(clicks.intersect(buys), "intersect"))
+        .unionAll(tag(clicks.subtract(buys), "except"))
+    )
 
 
 @register(
-    "q_intersect_click_and_buy",
+    "q_grouping_sets_sales",
     oracle="""
-        SELECT user_id FROM events WHERE event_type = 'click'
-        INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-    tags=("set-op",),
-)
-def q_intersect_click_and_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT DISTINCT — users present in both event populations."""
-    e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id")
-    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicks.intersect(buys)
-
-
-@register(
-    "q_cube_sales",
-    oracle="""
-        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        SELECT 'rollup' AS op,
+               COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                COUNT(*) AS n_rows,
-               ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 4) AS total_qty
+               ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 4) AS total_qty,
+               ROUND(SUM(l_extendedprice), 4) AS total_price
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'cube' AS op,
+               COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 4) AS total_qty,
+               ROUND(SUM(l_extendedprice), 4) AS total_price
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    tags=("agg", "cube"),
+    tags=("agg", "rollup", "cube", "battery"),
 )
-def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 2^2 grouping combinations in one pass (Catalyst expands
-    to a single Expand + aggregate — one shuffle regardless of the
-    number of grouping sets)."""
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE over the same measures, tagged by op. Each
+    multidimensional aggregate runs as ONE Expand + partial/final
+    HashAggregate — one shuffle regardless of the number of grouping
+    sets (never one pass per set)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.cube("l_returnflag", "l_linestatus")
-        .agg(
+
+    def aggd(grouped) -> DataFrame:
+        return grouped.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4).alias(
-                "total_qty"
-            ),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
         )
-        .select(
+
+    def norm(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "n_rows",
             "total_qty",
+            "total_price",
         )
-    )
+
+    rollup = norm(aggd(l.rollup("l_returnflag", "l_linestatus")), "rollup")
+    cube = norm(aggd(l.cube("l_returnflag", "l_linestatus")), "cube")
+    return rollup.unionAll(cube)
 
 
 @register(
@@ -458,6 +488,7 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ranking_battery",
     oracle="""
         SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnum,
                CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
                CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
                ROUND(PERCENT_RANK() OVER w, 6) AS prank,
@@ -472,9 +503,11 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full analytic ranking surface over one window spec:
-    dense_rank, ntile, percent_rank, cume_dist, first_value, lag with
-    default. One shuffle + one sort serves all six functions (Spark
-    computes same-spec window functions in a single Window operator)."""
+    row_number, dense_rank, ntile, percent_rank, cume_dist, first_value,
+    lag with default. One shuffle + one sort serves all seven functions
+    (Spark computes same-spec window functions in a single Window
+    operator). row_number + a filter is also the per-group top-k
+    pattern (see plans/analytics.py::top_events_per_user)."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
@@ -482,6 +515,7 @@ def q_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
+        F.row_number().over(w).cast("bigint").alias("rnum"),
         F.dense_rank().over(w).cast("bigint").alias("drank"),
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
@@ -492,9 +526,17 @@ def q_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_orders_never_returned",
+    "q_exists_battery",
     oracle="""
-        SELECT o_orderpriority, COUNT(*) AS n_orders
+        SELECT 'semi_discounted' AS op, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+        )
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'anti_returned' AS op, o_orderpriority, COUNT(*) AS n_orders
         FROM orders o
         WHERE NOT EXISTS (
             SELECT 1 FROM lineitem l
@@ -502,20 +544,31 @@ def q_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY o_orderpriority
     """,
-    tags=("anti-join", "agg"),
+    tags=("semi-join", "anti-join", "agg", "battery"),
 )
-def q_orders_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a LEFT ANTI join (Catalyst's native strategy) —
-    orders with no returned line item. The anti join shuffles once on
-    the order key and never multiplies rows."""
+def q_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existential subqueries both ways, tagged by op: EXISTS as a LEFT
+    SEMI join (orders with a discounted line) and NOT EXISTS as a LEFT
+    ANTI join (orders with no returned line) — Catalyst's native
+    strategies. Each shuffles once on the order key and never
+    multiplies rows; the filter on lineitem is pushed to its scan."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    discounted = l.filter(F.col("l_discount") > 0.05).select("l_orderkey")
     returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
-    return (
+    semi = (
+        o.join(discounted, o["o_orderkey"] == discounted["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(F.lit("semi_discounted").alias("op"), "o_orderpriority", "n_orders")
+    )
+    anti = (
         o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_anti")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(F.lit("anti_returned").alias("op"), "o_orderpriority", "n_orders")
     )
+    return semi.unionAll(anti)
 
 
 @register(

@@ -124,6 +124,77 @@ def join_risk_with_customers(risk: DataFrame, customers: DataFrame) -> DataFrame
     )
 
 
+def decode_customers_with_time(
+    raw: DataFrame, value_col: str = "value", ts_col: str = "cust_ts"
+) -> DataFrame:
+    """The customer decode chain with an event-time column carried
+    through every step (the Kafka-record-timestamp pattern: the wire
+    carries (value, ts); ts survives the decode untouched so watermarks
+    can bound state downstream)."""
+    envelope = raw.select(
+        F.col(ts_col),
+        F.from_json(F.col(value_col).cast("string"), REDIS_SCHEMA).alias("env"),
+    )
+    encoded = envelope.select(
+        F.col(ts_col),
+        F.get(F.col("env.zSetEntries"), 0).getField("element").alias("encodedCustomer"),
+    )
+    decoded = encoded.select(
+        F.col(ts_col),
+        F.try_to_binary(F.col("encodedCustomer"), F.lit("base64"))
+        .cast("string")
+        .alias("customerJson"),
+    )
+    return decoded.select(
+        F.col(ts_col), F.from_json(F.col("customerJson"), CUSTOMER_SCHEMA).alias("customer")
+    ).select(ts_col, "customer.*")
+
+
+def flagship_pipeline_watermarked(
+    redis_raw: DataFrame,
+    events_raw: DataFrame,
+    ts_col: str = "cust_ts",
+    watermark: str = "40 days",
+    band_days: int = 15,
+) -> DataFrame:
+    """The PRODUCTION variant of the flagship join: both sides carry
+    event time, both declare watermarks, and the join condition is
+    time-bounded — so Spark plans state EVICTION for the
+    StreamingSymmetricHashJoin instead of the reference's unbounded
+    state (reference sparkpykafkajoin.py:196-198 joins with no
+    watermark; its state grows forever).
+
+    State bound: a customer row is kept only until the risk-side
+    watermark passes ``cust_ts + band_days`` (and vice versa) — state
+    size becomes O(rows in the band window), not O(all history).
+    The default ``watermark`` delay is wide so bounded replays emit
+    every in-band match deterministically; production tightens it to
+    the real late-data tolerance.
+    """
+    cust = decode_customers_with_time(redis_raw, ts_col=ts_col)
+    cust = (
+        cust.filter(F.col("email").isNotNull() & F.col("birthDay").isNotNull())
+        .withColumn("birthYear", F.split(F.col("birthDay"), "-").getItem(0))
+        .select("email", "birthYear", ts_col)
+    )
+    risk = parse_risk_events(events_raw, keep_timestamp=True)
+    if cust.isStreaming:
+        cust = cust.withWatermark(ts_col, watermark)
+    if risk.isStreaming:
+        risk = risk.withWatermark("riskDate", watermark)
+    band = (
+        F.col("riskDate")
+        >= F.col(ts_col) - F.expr(f"INTERVAL {band_days} DAYS")
+    ) & (
+        F.col("riskDate")
+        <= F.col(ts_col) + F.expr(f"INTERVAL {band_days} DAYS")
+    )
+    joined = risk.join(
+        cust, (risk["customer"] == cust["email"]) & band, "inner"
+    )
+    return joined.select("customer", "score", "email", "birthYear")
+
+
 def serialize_for_kafka(df: DataFrame) -> DataFrame:
     """``to_json(struct(*)) AS value`` — the Kafka sink projection
     (reference sparkpykafkajoin.py:211-212; target payload
@@ -154,6 +225,7 @@ def encode_customer_envelope(
     email_col: str = "email",
     phone_col: str = "phone",
     birth_day_col: str = "birthDay",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Wrap plain customer rows into the doubly-encoded `redis-server`
     envelope (single `value` string column), matching README.md:55-92:
@@ -180,7 +252,9 @@ def encode_customer_envelope(
         F.array(entry).alias("zSetEntries"),
         F.array(entry).alias("zsetEntries"),  # redundant twin, README.md:69-72
     )
-    return customers.select(F.to_json(envelope).alias("value"))
+    return customers.select(
+        F.to_json(envelope).alias("value"), *[F.col(c) for c in keep_cols]
+    )
 
 
 def encode_risk_event(

@@ -7,7 +7,7 @@ relational parquet. These adapters derive deterministic STEDI-shaped
 rows from them with expressions that exist identically in Spark SQL and
 DuckDB, so every derivation is oracle-checkable:
 
-- email     = lower(replace(c_name, '#', '_')) || '@example.com'
+- email     = 'customer_' || lpad(c_custkey, 9, '0') || '@example.com'
 - birthDay  = (1920 + c_custkey % 80) || '-01-' || lpad(c_custkey%28+1)
 - risk rows = events table with the same email formula over user_id
 
@@ -100,6 +100,34 @@ def stedi_customers_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.stedi import encode_customer_envelope
 
     return encode_customer_envelope(stedi_customers_plain(spark, sf_dir))
+
+
+def stedi_customers_wire_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer wire envelopes WITH an event-time side column
+    (``cust_ts``) — the Kafka-record-timestamp shape used by the
+    watermarked flagship variant. cust_ts spreads customers
+    deterministically across the events table's January-2024 span:
+    epoch 1704067200 (2024-01-01 UTC) + (custkey%30) days +
+    custkey seconds."""
+    from ..plans.stedi import encode_customer_envelope
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cust_ts = F.timestamp_seconds(
+        F.lit(1704067200).cast("long") + (k % 30) * 86400 + (k % 86400)
+    )
+    birth_year = (F.lit(1920) + k % 80).cast("int").cast("string")
+    birth_day = F.concat(
+        birth_year, F.lit("-01-"), F.lpad((k % 28 + 1).cast("string"), 2, "0")
+    )
+    plain = c.select(
+        F.col("c_name").alias("customerName"),
+        _email_from_custkey(k).alias("email"),
+        F.concat(F.lit("555"), F.lpad((k % 10000).cast("string"), 4, "0")).alias("phone"),
+        birth_day.alias("birthDay"),
+        cust_ts.alias("cust_ts"),
+    )
+    return encode_customer_envelope(plain, keep_cols=("cust_ts",))
 
 
 def stedi_risk_wire(spark: SparkSession, sf_dir: str) -> DataFrame:

