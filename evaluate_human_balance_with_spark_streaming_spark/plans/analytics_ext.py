@@ -88,34 +88,47 @@ def q_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "rollup", "cube", "battery"),
 )
 def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP and CUBE over the same measures, tagged by op. Each
-    multidimensional aggregate runs as ONE Expand + partial/final
-    HashAggregate — one shuffle regardless of the number of grouping
-    sets (never one pass per set)."""
+    """ROLLUP and CUBE over the same measures, tagged by op. The cube
+    runs as ONE Expand + partial/final HashAggregate (one shuffle
+    regardless of the number of grouping sets); the rollup branch is
+    then DERIVED from the cube output — ROLLUP(a,b)'s grouping sets
+    {(a,b),(a),()} are a subset of CUBE's, so its rows are the cube
+    rows minus the (b)-only set. One fact scan and one wide shuffle
+    serve both (the oracle runs them independently, proving the
+    derivation)."""
     l = load_table(spark, sf_dir, "lineitem")
-
-    def aggd(grouped) -> DataFrame:
-        return grouped.agg(
+    cube = (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4
             ).alias("total_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
         )
-
-    def norm(df: DataFrame, op: str) -> DataFrame:
-        return df.select(
-            F.lit(op).alias("op"),
+        .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "n_rows",
             "total_qty",
             "total_price",
         )
+    )
+    rollup = cube.filter(
+        ~((F.col("returnflag") == "ALL") & (F.col("linestatus") != "ALL"))
+    )
 
-    rollup = norm(aggd(l.rollup("l_returnflag", "l_linestatus")), "rollup")
-    cube = norm(aggd(l.cube("l_returnflag", "l_linestatus")), "cube")
-    return rollup.unionAll(cube)
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            "returnflag",
+            "linestatus",
+            "n_rows",
+            "total_qty",
+            "total_price",
+        )
+
+    return tag(rollup, "rollup").unionAll(tag(cube, "cube"))
 
 
 @register(

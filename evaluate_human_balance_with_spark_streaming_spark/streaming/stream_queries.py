@@ -42,19 +42,39 @@ from .stateful import running_risk_state
 
 _WIRE_SCHEMA = StructType([StructField("value", StringType())])
 
+# One materialized dir per (tag, n_files) per process: the wire
+# derivations are deterministic functions of the test tables, and
+# several stream queries replay the SAME wire feed (risk wire feeds
+# flagship, watermarked, stateful and enrich; tags embed sf_dir so
+# scale factors never collide) — re-encoding 100k json
+# envelopes + a parquet write per query is pure fixed cost (~1-2s each
+# at sf0.1). Each query still gets its own stream reader + checkpoint;
+# only the immutable input files are shared.
+_WIRE_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _materialize(wire_df: DataFrame, tag: str, n_files: int) -> str:
+    key = (tag, n_files)
+    if key not in _WIRE_CACHE:
+        safe = "".join(c if c.isalnum() or c in "-." else "_" for c in tag)
+        path = os.path.join(tempfile.mkdtemp(prefix=f"ehb-stream-{safe}-"), "data")
+        wire_df.repartition(n_files).write.mode("overwrite").parquet(path)
+        _WIRE_CACHE[key] = path
+    return _WIRE_CACHE[key]
+
 
 def _materialize_wire_stream(
     spark: SparkSession, wire_df: DataFrame, tag: str, n_files: int = 4
 ) -> DataFrame:
-    """Write a wire-format DataFrame to a temp parquet dir and re-open
-    it as a file *stream* (multiple micro-batches — a real replay, not
-    a single-batch degenerate case). Two files per trigger: still ≥2
+    """Write a wire-format DataFrame to a temp parquet dir (once per
+    (tag, n_files) per process — see _WIRE_CACHE) and re-open it as a
+    file *stream* (multiple micro-batches — a real replay, not a
+    single-batch degenerate case). Two files per trigger: still ≥2
     batches of cross-batch state per source, at half the per-batch
     fixed cost (measured 21s → 7s on the flagship join at sf0.1;
     per-batch granularity is separately pinned by the streaming unit
     tests)."""
-    path = os.path.join(tempfile.mkdtemp(prefix=f"ehb-stream-{tag}-"), "data")
-    wire_df.repartition(n_files).write.mode("overwrite").parquet(path)
+    path = _materialize(wire_df, tag, n_files)
     return stream_parquet_dir(spark, path, _WIRE_SCHEMA, max_files_per_trigger=2)
 
 
@@ -67,8 +87,7 @@ def _materialize_wire_stream_ts(
     spark: SparkSession, wire_df: DataFrame, tag: str, n_files: int = 4
 ) -> DataFrame:
     """As _materialize_wire_stream, for (value, cust_ts) wire rows."""
-    path = os.path.join(tempfile.mkdtemp(prefix=f"ehb-stream-{tag}-"), "data")
-    wire_df.repartition(n_files).write.mode("overwrite").parquet(path)
+    path = _materialize(wire_df, tag, n_files)
     return stream_parquet_dir(spark, path, _WIRE_TS_SCHEMA, max_files_per_trigger=2)
 
 
@@ -96,10 +115,10 @@ def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash state, drained via availableNow into a memory sink. Must
     hash-match the same relational oracle as the batch flagship."""
     redis_stream = _materialize_wire_stream(
-        spark, stedi_customers_wire(spark, sf_dir), "redis"
+        spark, stedi_customers_wire(spark, sf_dir), f"cust@{sf_dir}"
     )
     events_stream = _materialize_wire_stream(
-        spark, stedi_risk_wire(spark, sf_dir), "events"
+        spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}"
     )
     joined = stedi.flagship_pipeline(redis_stream, events_stream)
     return run_to_memory(spark, joined, output_mode="append")
@@ -140,10 +159,10 @@ def q_stream_flagship_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     join is an exact oracle; risk event times are truncated to
     milliseconds by the wire format, which the oracle replays."""
     redis_stream = _materialize_wire_stream_ts(
-        spark, stedi_customers_wire_ts(spark, sf_dir), "redis-wm"
+        spark, stedi_customers_wire_ts(spark, sf_dir), f"cust-ts@{sf_dir}"
     )
     events_stream = _materialize_wire_stream(
-        spark, stedi_risk_wire(spark, sf_dir), "events-wm"
+        spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}"
     )
     joined = stedi.flagship_pipeline_watermarked(redis_stream, events_stream)
     return run_to_memory(spark, joined, output_mode="append")
@@ -168,10 +187,9 @@ def q_stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.testdata import load_table
 
     events = load_table(spark, sf_dir, "events")
-    path = os.path.join(tempfile.mkdtemp(prefix="ehb-stream-win-"), "data")
-    events.select("ts", "event_type", "value").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(path)
+    path = _materialize(
+        events.select("ts", "event_type", "value"), f"win@{sf_dir}", 4
+    )
     stream = stream_parquet_dir(
         spark,
         path,
@@ -192,7 +210,7 @@ def q_stream_stateful_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed risk stream; emits the latest state per customer per batch
     (update mode). Final-state correctness is pinned by unit tests."""
     risk = stedi.parse_risk_events(
-        _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), "stateful")
+        _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}")
     )
     out = running_risk_state(risk)
     updates = run_to_memory(spark, out, output_mode="update")
@@ -227,8 +245,7 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     doubled = events.union(events)
-    path = os.path.join(tempfile.mkdtemp(prefix="ehb-stream-dup-"), "data")
-    doubled.repartition(6).write.mode("overwrite").parquet(path)
+    path = _materialize(doubled, f"dup@{sf_dir}", 6)
     stream = stream_parquet_dir(
         spark,
         path,
@@ -266,7 +283,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.testdata import load_table
 
     risk_stream = stedi.parse_risk_events(
-        _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), "enrich")
+        _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}")
     )
     dim = load_table(spark, sf_dir, "customer").select(
         F.concat(
