@@ -14,5 +14,5 @@ from .text import (  # noqa: F401
     tokens,
     word_shingles,
 )
-from .hashing import md5_seeded, minhash_signature, simhash32  # noqa: F401
+from .hashing import md5_seeded, simhash32  # noqa: F401
 from .vectors import cosine_similarity, dot_product, l2_norm  # noqa: F401

@@ -25,23 +25,14 @@ def md5_seeded(col: Column, seed: int | str) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), col))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature of an array<string> shingle column: for each
-    seed i, the lexicographic min over shingles of md5('i:' || s).
-
-    Returned as ``num_hashes`` separate Column expressions (callers
-    alias them mh0..mhK). Empty shingle arrays produce nulls — callers
-    should filter docs with no shingles first.
-
-    NB: the seed must be bound via a closure factory, not a lambda
-    default arg — pyspark passes the array index to any 2-parameter
-    transform() lambda, silently overriding defaults.
-    """
-
-    def seeded_min(i: int) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: md5_seeded(s, i)))
-
-    return [seeded_min(i) for i in range(num_hashes)]
+# NB: the signature itself is built explode-style in
+# operators/dedup.py::minhash_signatures — per-seed
+# array_min(transform(shingles, md5_seeded)) expressions are
+# semantically identical but Spark interprets lambda functions (no
+# codegen), measured ~20% slower and widening with document length.
+# If you do write a transform() with a 2-parameter lambda, bind the
+# seed via a closure factory: pyspark passes the array index to any
+# 2-parameter lambda, silently overriding default args.
 
 
 def band_key(signature_cols: list[Column], band: int, rows_per_band: int) -> Column:
@@ -74,7 +65,7 @@ def simhash32(tokens_col: Column) -> Column:
 
     def merge_for(j: int):
         # Closure factory: a 3-parameter lambda would make pyspark pass
-        # the array index as the third argument (see minhash_signature).
+        # the array index as the third argument (see module note above).
         return lambda acc, tok: acc + (bit_of(tok, j) * 2 - 1)
 
     packed = None

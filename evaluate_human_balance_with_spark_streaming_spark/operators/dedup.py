@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import managed_persist
-from ..functions.hashing import band_key, minhash_signature, simhash32
+from ..functions.hashing import band_key, md5_seeded, simhash32
 from ..functions.text import fingerprint_md5, normalize_text, tokens, word_shingles
 from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
@@ -46,36 +46,42 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def with_minhash(
-    df: DataFrame, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+def with_shingles(
+    df: DataFrame, text_col: str, shingle_n: int = 3
 ) -> DataFrame:
-    """Append MinHash signature columns mh0..mh{k-1} (docs with no
-    shingles are dropped — they have no similarity signal)."""
-    # Two performance traps handled here, both invisible at toy scale:
-    # 1. a small input read from one parquet file arrives as ONE
-    #    partition and the hash sweep runs single-threaded — spread it
-    #    (no-op when the input is already parallel);
-    # 2. CollapseProject inlines the _shingles alias into EVERY mh_i
-    #    expression (higher-order funcs get no codegen subexpression
-    #    elimination), recomputing the shingling k times per row —
-    #    measured 21× slower. persist() is a hard barrier; at 100 TB
-    #    the equivalent is materializing the shingle table once.
+    """Append a ``_shingles`` array column, dropping docs with none
+    (no similarity signal). Persisted: the shingle table feeds both
+    signature generation and pair verification, and CollapseProject
+    would otherwise inline the shingling expression into every
+    consumer (measured 21× slower in round 1) — persist() is the hard
+    barrier; at 100 TB the equivalent is a materialized shingle table.
+    A one-file scan is spread first so the hash sweep parallelizes."""
     df = ensure_min_partitions(df)
     sh = word_shingles(F.col(text_col), shingle_n)
-    out = managed_persist(
+    return managed_persist(
         df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0)
     )
-    sig = minhash_signature(F.col("_shingles"), num_hashes)
-    for i, c in enumerate(sig):
-        out = out.withColumn(f"mh{i}", c)
-    # Second persist: downstream pair stages reference the signature
-    # several times (banding both join sides + verify); higher-order
-    # hash expressions are interpreted (no codegen), so recomputing
-    # them per consumer measured 3-4× the whole pipeline. Populating
-    # this cache reads the shingle cache above, so each barrier is
-    # computed exactly once. Both caches are managed_persist-tracked:
-    # released after the consuming query is evaluated (caching.py).
-    return managed_persist(out)
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Slim (id, mh0..mh{k-1}) MinHash signature table.
+
+    Plan shape: explode shingles → k codegen'd seeded-md5 projections →
+    k min-aggregates grouped by id. Beats the higher-order
+    array_min(transform(...)) form (which Spark interprets — no
+    codegen for lambda functions; measured ~20% faster at sf0.1 and
+    widening with document length). The groupBy is map-side partial:
+    every doc's shingles sit in one partition post-explode, so the
+    exchange moves only the finished 16-hash signature rows — at
+    100 TB the shuffle volume is the signature table, not the corpus.
+    """
+    ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("s"))
+    aggs = [
+        F.min(md5_seeded(F.col("s"), i)).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -89,7 +95,8 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
-    1. signature: k seeded-md5 min-hashes per doc (one pass, no shuffle);
+    1. signature: k seeded-md5 min-hashes per doc (explode + map-side
+       min aggregate — the exchange moves only slim signature rows);
     2. banding: k/bands hashes per band → band key; explode to
        (band_idx, band_key) — docs sharing any band key are candidates;
     3. candidate join *within band buckets only*;
@@ -98,9 +105,12 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    # with_minhash persists the shingle table (its own barrier); the mh
-    # columns on top are cheap to recompute per consumer.
-    sig = with_minhash(df, text_col, num_hashes, shingle_n)
+    base = with_shingles(df, text_col, shingle_n)
+    # Persisted slim signature table: consumed by both sides of the
+    # band self-join (recomputing the signature per consumer measured
+    # 3-4× the whole pipeline in round 1); released by the query
+    # wrapper after evaluation (caching.py).
+    sig = managed_persist(minhash_signatures(base, id_col, num_hashes))
     sig_cols = [F.col(f"mh{i}") for i in range(num_hashes)]
     # Candidate generation on SLIM rows only — (id, band, bkey), no
     # document payload. The band self-join shuffles 3 short columns;
@@ -132,7 +142,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify: join the shingle sets back in for candidate pairs only.
-    shingle_tbl = sig.select(F.col(id_col), F.col("_shingles"))
+    shingle_tbl = base.select(F.col(id_col), F.col("_shingles"))
     pairs = cand.join(
         shingle_tbl.select(
             F.col(id_col).alias("id_a"), F.col("_shingles").alias("sh_a")

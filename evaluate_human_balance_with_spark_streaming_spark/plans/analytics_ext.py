@@ -93,9 +93,12 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of the number of grouping sets); the rollup branch is
     then DERIVED from the cube output — ROLLUP(a,b)'s grouping sets
     {(a,b),(a),()} are a subset of CUBE's, so its rows are the cube
-    rows minus the (b)-only set. One fact scan and one wide shuffle
-    serve both (the oracle runs them independently, proving the
-    derivation)."""
+    rows minus the (b)-only set. Each cube row EXPLODES into its
+    applicable op tags (every row is 'cube'; in-rollup rows also emit
+    'rollup') — no self-union, so the whole query is ONE fact scan +
+    ONE Expand shuffle by construction (a union of two branches over
+    the same aggregate defeats both cache lookup and exchange reuse
+    after attribute deduplication — measured as two full scans)."""
     l = load_table(spark, sf_dir, "lineitem")
     cube = (
         l.cube("l_returnflag", "l_linestatus")
@@ -114,21 +117,18 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
-    rollup = cube.filter(
-        ~((F.col("returnflag") == "ALL") & (F.col("linestatus") != "ALL"))
+    in_rollup = ~((F.col("returnflag") == "ALL") & (F.col("linestatus") != "ALL"))
+    ops = F.when(
+        in_rollup, F.array(F.lit("rollup"), F.lit("cube"))
+    ).otherwise(F.array(F.lit("cube")))
+    return cube.select(
+        F.explode(ops).alias("op"),
+        "returnflag",
+        "linestatus",
+        "n_rows",
+        "total_qty",
+        "total_price",
     )
-
-    def tag(df: DataFrame, op: str) -> DataFrame:
-        return df.select(
-            F.lit(op).alias("op"),
-            "returnflag",
-            "linestatus",
-            "n_rows",
-            "total_qty",
-            "total_price",
-        )
-
-    return tag(rollup, "rollup").unionAll(tag(cube, "cube"))
 
 
 @register(
