@@ -25,6 +25,19 @@ def md5_seeded(col: Column, seed: int | str) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), col))
 
 
+def md5_seeded_int(col: Column, seed: int | str) -> Column:
+    """Seeded 60-bit integer hash: the first 15 hex digits of the
+    seeded md5 as a BIGINT (15 × 4 = 60 bits, no sign/overflow issues).
+
+    This is the MinHash component type: min over a NUMERIC hash lets
+    Spark plan a HashAggregate (fixed-width mutable buffer) instead of
+    the SortAggregate it falls back to for string minima — measured
+    1.65s → 0.58s for the 16-hash signature build at sf0.1, and the
+    gap is a per-partition sort avoided at any scale. DuckDB replays
+    it verbatim: ('0x' || substr(md5(...), 1, 15))::BIGINT."""
+    return F.conv(F.substring(md5_seeded(col, seed), 1, 15), 16, 10).cast("bigint")
+
+
 # NB: the signature itself is built explode-style in
 # operators/dedup.py::minhash_signatures — per-seed
 # array_min(transform(shingles, md5_seeded)) expressions are
@@ -37,10 +50,12 @@ def md5_seeded(col: Column, seed: int | str) -> Column:
 
 def band_key(signature_cols: list[Column], band: int, rows_per_band: int) -> Column:
     """LSH band key: md5 of the concatenated signature slice for this
-    band (docs sharing any band key are near-dup candidates)."""
+    band (docs sharing any band key are near-dup candidates). Integer
+    signature components are rendered as decimal strings — identical
+    in Spark (CAST AS STRING) and DuckDB (array_to_string)."""
     lo = band * rows_per_band
     parts = signature_cols[lo : lo + rows_per_band]
-    return F.md5(F.concat_ws("|", *parts))
+    return F.md5(F.concat_ws("|", *[p.cast("string") for p in parts]))
 
 
 def hex_digit_value(ch: Column) -> Column:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import managed_persist
-from ..functions.hashing import band_key, md5_seeded, simhash32
+from ..functions.hashing import band_key, md5_seeded_int, simhash32
 from ..functions.text import fingerprint_md5, normalize_text, tokens, word_shingles
 from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
@@ -69,17 +69,26 @@ def minhash_signatures(
     """Slim (id, mh0..mh{k-1}) MinHash signature table.
 
     Plan shape: explode shingles → k codegen'd seeded-md5 projections →
-    k min-aggregates grouped by id. Beats the higher-order
-    array_min(transform(...)) form (which Spark interprets — no
-    codegen for lambda functions; measured ~20% faster at sf0.1 and
-    widening with document length). The groupBy is map-side partial:
-    every doc's shingles sit in one partition post-explode, so the
-    exchange moves only the finished 16-hash signature rows — at
-    100 TB the shuffle volume is the signature table, not the corpus.
+    k NUMERIC min-aggregates grouped by id. Two deliberate choices vs
+    the naive form, both measured:
+
+    - explode + aggregate instead of higher-order
+      array_min(transform(...)) — Spark interprets lambda functions
+      (no codegen); ~20% faster at sf0.1, widening with doc length;
+    - 60-bit integer hash components (md5_seeded_int) instead of hex
+      strings — numeric minima aggregate in a HashAggregate
+      (fixed-width buffer); string minima force SortAggregate with a
+      per-partition sort (1.65s → 0.58s at sf0.1).
+
+    The groupBy is map-side partial: every doc's shingles sit in one
+    partition post-explode, so the exchange moves only the finished
+    16-hash signature rows — at 100 TB the shuffle volume is the
+    signature table, not the corpus.
     """
     ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("s"))
     aggs = [
-        F.min(md5_seeded(F.col("s"), i)).alias(f"mh{i}") for i in range(num_hashes)
+        F.min(md5_seeded_int(F.col("s"), i)).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)
 
@@ -343,7 +352,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sig AS (
             SELECT doc_id,
-                   [list_aggregate([md5(CAST(k AS VARCHAR) || ':' || s) for s in shingles], 'min')
+                   [list_aggregate([('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15))::BIGINT
+                                    for s in shingles], 'min')
                     for k in range(0, 16)] AS mh
             FROM sh
         ),
@@ -547,7 +557,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         ),
         sig AS (
             SELECT doc_id,
-                   [list_aggregate([md5(CAST(k AS VARCHAR) || ':' || s) for s in shingles], 'min')
+                   [list_aggregate([('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15))::BIGINT
+                                    for s in shingles], 'min')
                     for k in range(0, 16)] AS mh
             FROM sh
         ),
