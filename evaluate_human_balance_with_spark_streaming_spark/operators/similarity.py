@@ -108,11 +108,17 @@ def ivf_topk(
     cell_col: str,
     k: int = 5,
     dim: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: centroids = per-cell mean vectors; each query is
-    assigned to its nearest centroid (n_probe=1) and searched only
-    within that cell. The centroid table is tiny → broadcast twice
+    assigned to its ``n_probe`` nearest centroids and searched only
+    within those cells. The centroid table is tiny → broadcast twice
     (assignment + probe); the candidate join is an equi-join on cell.
+
+    ``n_probe`` is the recall dial: candidates grow linearly with it
+    while staying bounded (n_probe × avg cell size per query — never
+    all-pairs); with n_probe = number of cells the result provably
+    equals brute force (pinned by a unit test).
 
     ``dim`` is the vector width (e.g. 64 for the embeddings fixture);
     pass it explicitly so plan construction stays action-free and the
@@ -142,7 +148,8 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    # Assign each query to its nearest centroid (deterministic tiebreak).
+    # Assign each query to its n_probe nearest centroids
+    # (deterministic tiebreak).
     assigned = (
         q.crossJoin(F.broadcast(centroids))
         .withColumn("csim", cosine_similarity(F.col("qv"), F.col("centroid")))
@@ -154,7 +161,7 @@ def ivf_topk(
                 )
             ),
         )
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= n_probe)
         .select("query_id", "qv", "cell")
         .withColumn("qn", l2_norm(F.col("qv")))
     )

@@ -278,3 +278,52 @@ def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
         F.percentile_approx("value", 0.5, 10000).alias("p")
     ).first().p
     assert abs(approx_p50 - exact_p50) <= max(0.05 * abs(exact_p50), 1.0)
+
+
+def test_ivf_nprobe_recall_monotone_and_exhaustive_equals_bruteforce(spark, sf_dir):
+    """IVF recall properties: probing more cells can only add candidate
+    pairs (recall vs brute force is monotone in n_probe), and probing
+    EVERY cell makes IVF exactly brute force (same scoring, rounding,
+    tiebreaks) — the candidate generation loses nothing but cell
+    locality."""
+    from pyspark.sql import functions as F
+
+    from evaluate_human_balance_with_spark_streaming_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        brute_force_topk,
+        ivf_topk,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    n_cells = emb.select("label").distinct().count()
+
+    def pairs(df):
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+        }
+
+    bf = pairs(brute_force_topk(emb, queries, "embedding", "vec_id", k=3))
+    ivf1 = pairs(
+        ivf_topk(
+            emb, queries, "embedding", "vec_id", "label",
+            k=3, dim=EMBEDDING_DIM, n_probe=1,
+        ).drop("cell")
+    )
+    ivf2 = pairs(
+        ivf_topk(
+            emb, queries, "embedding", "vec_id", "label",
+            k=3, dim=EMBEDDING_DIM, n_probe=2,
+        ).drop("cell")
+    )
+    ivf_all = pairs(
+        ivf_topk(
+            emb, queries, "embedding", "vec_id", "label",
+            k=3, dim=EMBEDDING_DIM, n_probe=n_cells,
+        ).drop("cell")
+    )
+    assert len(ivf1 & bf) <= len(ivf2 & bf)
+    assert ivf_all == bf
