@@ -541,6 +541,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         if changed == 0:
             break
     edges.unpersist()
+    # The final label frame stays persisted (the caller's plan reads
+    # it); track it so the session cache manager frees it after the
+    # consuming query is evaluated.
+    from ..caching import track
+
+    track(labels)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -461,7 +461,17 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse-join formulation (vs materializing dense vectors) is how
     distributed time-series similarity scales: the shuffle is on the
     time key, pair cost is bounded by co-active days, not |users|².
-    Top-5 most-similar per user, tiebroken by id."""
+    Top-5 most-similar per user, tiebroken by id.
+
+    Scale caveat, stated honestly: the day key is low-cardinality
+    (~30 here), so parallelism within the pair join caps at the number
+    of distinct days and a popular day is a hot partition. The
+    scale-out refinements, in order: (1) finer time grain (hour) when
+    activity allows; (2) grid-block the self-join — bucket users into
+    √P hash buckets and join (day, bucket_i) × (day, bucket_j) for
+    i ≤ j, which spreads each day over P reducers at ~2× replication
+    (the standard triangle/blocked self-join); (3) AQE skew-join
+    splitting (enabled) for residual imbalance."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
