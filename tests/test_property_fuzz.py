@@ -1,0 +1,127 @@
+"""Property-based fuzzing (hypothesis) of the decode chain and exact
+dedup — each property runs ONE Spark job over a hypothesis-generated
+batch (not one job per example: a local Spark round trip costs ~0.5 s,
+so examples are batched into a single DataFrame per case).
+
+Properties pinned:
+- encode ∘ decode is the identity on (email, phone, birthDay) for ANY
+  printable field content, while `customer` is always null (the
+  reference's customerName/customer schema-mismatch quirk holds for
+  arbitrary data, not just the fixtures);
+- arbitrary junk on the wire NEVER crashes the pipeline and never
+  produces spurious rows (ANSI-mode hardening: F.get / try_to_binary);
+- exact dedup keeps exactly min(doc_id) per normalized-text group for
+  random duplicate layouts.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+    dedup_exact,
+)
+from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
+
+# Printable text without surrogates; JSON handles escaping.
+_field = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00"
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    records=st.lists(
+        st.fixed_dictionaries(
+            {"customerName": _field, "email": _field, "phone": _field,
+             "birthDay": _field}
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_encode_decode_roundtrip_any_content(spark, records):
+    plain = spark.createDataFrame(
+        [(r["customerName"], r["email"], r["phone"], r["birthDay"]) for r in records],
+        "customerName string, email string, phone string, birthDay string",
+    )
+    wire = stedi.encode_customer_envelope(plain)
+    decoded = stedi.decode_customers(wire).collect()
+    got = sorted((r.email, r.phone, r.birthDay) for r in decoded)
+    want = sorted((r["email"], r["phone"], r["birthDay"]) for r in records)
+    assert got == want
+    assert all(r.customer is None for r in decoded)
+
+
+@given(junk=st.lists(st.text(max_size=80), min_size=1, max_size=8))
+@_SETTINGS
+def test_arbitrary_wire_junk_never_crashes_or_leaks_rows(spark, junk):
+    raw = spark.createDataFrame([(v,) for v in junk], "value string")
+    out = stedi.customer_pipeline(raw).collect()
+    # Junk can only produce rows if it happens to BE a valid envelope
+    # whose inner doc has email+birthDay — vanishingly unlikely for
+    # random text; every produced row must carry non-null fields.
+    assert all(r.email is not None and r.birthYear is not None for r in out)
+    parseable = [
+        v for v in junk
+        if isinstance((json.loads(v) if _is_json(v) else None), dict)
+    ]
+    assert len(out) <= len(parseable)
+
+
+def _is_json(v: str) -> bool:
+    try:
+        json.loads(v)
+        return True
+    except Exception:
+        return False
+
+
+# ASCII-only for the dedup property: its plain-Python reference
+# emulates Spark's \s+ normalization, and Java regex \s does NOT
+# match unicode spaces while Python's does — restricting the alphabet
+# keeps the two normalizers provably equivalent.
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(
+    texts=st.lists(_ascii_text, min_size=1, max_size=5),
+    copies=st.lists(st.integers(min_value=1, max_value=3), min_size=5, max_size=5),
+)
+@_SETTINGS
+def test_dedup_exact_keeps_min_id_per_group(spark, texts, copies):
+    rows, i = [], 0
+    for t, c in zip(texts, copies):
+        for _ in range(c):
+            rows.append((i, t))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_copies for r in dedup_exact(df, "text", "doc_id").collect()}
+    # Reference computation in plain Python over NORMALIZED text
+    # (lowercase, whitespace collapsed) — the operator's group key.
+    import re
+
+    norm = lambda s: re.sub(r"\s+", " ", s.lower()).strip()
+    want: dict[str, list[int]] = {}
+    for doc_id, t in rows:
+        want.setdefault(norm(t), []).append(doc_id)
+    expect = {min(ids): len(ids) for ids in want.values()}
+    assert got == expect
