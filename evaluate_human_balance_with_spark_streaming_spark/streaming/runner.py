@@ -38,9 +38,12 @@ def run_to_memory(
     # per stateful operator PER MICRO-BATCH; at replay-test scale that
     # fixed cost dwarfs the data. Pin a small state partition count for
     # the duration of the start() call (the query captures the conf at
-    # start), then restore. On a cluster-sized job, size this to cores.
+    # start), then restore (measured on the sf0.1 flagship replay:
+    # 8 parts ≈ 2.8s, 4 ≈ 2.5s, 2 ≈ 2.3s — 4 keeps some join
+    # parallelism while halving store open/commit count). On a
+    # cluster-sized job, size this to cores.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 4)))
     try:
         query = (
             stream_df.writeStream.format("memory")
