@@ -66,6 +66,12 @@ def hex_digit_value(ch: Column) -> Column:
 def simhash32(tokens_col: Column) -> Column:
     """32-bit SimHash of an array<string> token column, as BIGINT.
 
+    Single-expression form, kept for per-row use (e.g. on a stream
+    where explode+groupBy would add a stateful aggregate). The batch
+    dedup operator uses operators/dedup.py::simhash_signatures
+    instead: these 32 aggregate() folds are interpreted and re-hash
+    every token once per bit, ~3× slower on the documents table.
+
     For bit j (0..31): draw the bit from hex digit j//4 of md5(token)
     (bit j%4 of the digit's value); sum +1/-1 contributions over all
     tokens; bit j of the result is 1 when the sum is positive. Packed
