@@ -61,15 +61,20 @@ def _baseline_timings() -> dict[str, float]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
-    if not benches:
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
+    if not numbered:
         return {}
     try:
-        with open(benches[-1]) as f:
-            return json.load(f).get("queries", {}) or {}
+        with open(max(numbered)[1]) as f:
+            d = json.load(f)
+        # The driver wraps this script's JSON line under "parsed"
+        # ({n, rc, cpus, sf, tail, parsed: {queries: ...}}); accept a
+        # bare recording of the line itself too.
+        return (d.get("parsed") or d).get("queries") or {}
     except Exception:
         return {}
 

@@ -14,6 +14,15 @@ before each new query, and by bench.py between queries) frees every
 cache belonging to ALREADY-EVALUATED earlier queries. At 100 TB the
 same role is played by materialized intermediate tables with explicit
 lifecycle (drop after the consuming stage).
+
+CONTRACT: build-then-evaluate, one query at a time. release_managed
+assumes every previously returned DataFrame has been evaluated; a
+caller that builds several plans before collecting the first would
+have the first plan's barriers unpersisted under it (correct results,
+but the guarded recompute returns — e.g. the 21× CollapseProject
+trap). Library users driving operators directly (notebooks) should
+either evaluate each plan before building the next or own the persist
+lifecycle themselves and skip release_managed entirely.
 """
 
 from __future__ import annotations

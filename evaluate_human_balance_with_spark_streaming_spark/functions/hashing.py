@@ -1,12 +1,15 @@
 """Hashing expression helpers: seeded md5, MinHash signatures, SimHash.
 
 Design note — portability over cleverness: signature components are
-**lexicographic minima of seeded md5 hex strings**. md5 is uniform, so
-``min(md5(seed || shingle))`` is a valid permutation-min estimator for
-Jaccard similarity, exactly like integer MinHash, but it is expressible
-identically in any SQL engine (the DuckDB oracles replay it verbatim).
-No bit twiddling, no engine-specific hash. Spark evaluates the whole
-thing inside codegen.
+**numeric minima of seeded md5-derived 60-bit integers**
+(md5_seeded_int). md5 is uniform, so ``min(hash(seed || shingle))``
+is a valid permutation-min estimator for Jaccard similarity, exactly
+like classic integer MinHash, and the DuckDB oracles replay the same
+bytes verbatim (('0x' || substr(md5(...),1,15))::BIGINT). Integer —
+not hex-string — minima matter: numeric min plans a HashAggregate
+(fixed-width buffer) where string min falls back to SortAggregate
+(measured 1.65s → 0.58s on the sf0.1 signature build). No
+engine-specific hash; Spark evaluates it all inside codegen.
 
 SimHash packs sign-sums of per-token hash bits into a BIGINT; bits are
 drawn from md5 hex digits so the oracle can reproduce them.

@@ -149,6 +149,7 @@ def q_mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH mm AS (
             SELECT doc_id AS id, text, strlen(text) AS byte_len FROM documents
+            WHERE regexp_matches(text, '^[\\x00-\\x7f]+$')
         )
         SELECT id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
                CAST(strlen(substr(text, f.frame_idx * 256 + 1, 256)) AS INTEGER) AS frame_len,
@@ -160,9 +161,14 @@ def q_mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size frame sampling over payloads (256-byte frames), the
-    JVM-side fan-out path; frame checksums match the oracle's
-    byte-slice md5 because payload == utf-8 text here."""
-    d = load_table(spark, sf_dir, "documents")
+    JVM-side fan-out path. Certified domain is made explicit: both
+    sides keep only non-empty ASCII docs, where the oracle's char-based
+    substr equals the payload's byte slicing (and ceil(0/256)=0 never
+    reaches sequence()). Non-ASCII payloads still flow through
+    sample_frames itself — only the oracle twin needs the restriction."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[\\x00-\\x7F]+$")
+    )
     return sample_frames(attach_binary_payload(d, "text", "doc_id"))
 
 
@@ -264,19 +270,25 @@ def featurize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
                                        1)),
                        '') END) AS resized_md5
         FROM documents
+        WHERE regexp_matches(text, '^[\\x00-\\x7f]+$')
     """,
     tags=("multimodal", "pandas-udf"),
 )
 def q_mm_pandas_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched (mapInPandas) feature-extract + resize pass,
-    HASH-CHECKED: because the stub payloads are utf-8 text of ASCII
-    documents, every Python-computed feature (mean byte, md5 prefix,
-    stride-resize digest) has an exact relational twin the DuckDB
-    oracle replays byte-for-byte — upgrading this Python seam from a
-    rows-only check to a full value-hash certification. Python float
+    HASH-CHECKED: for non-empty ASCII payloads every Python-computed
+    feature (mean byte, md5 prefix, stride-resize digest) has an exact
+    relational twin the DuckDB oracle replays byte-for-byte —
+    upgrading this Python seam from a rows-only check to a full
+    value-hash certification. That domain is enforced by an identical
+    filter on BOTH sides (chars == bytes only for ASCII; empty docs
+    would be 0.0-vs-NULL mean), so parity survives any fixture
+    regeneration instead of silently assuming it. Python float
     division and DuckDB double division share IEEE semantics; the
     stride index int(i*stride) is floor() on both sides."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^[\\x00-\\x7F]+$")
+    )
     feats = featurize_payloads(attach_binary_payload(d, "text", "doc_id"))
     return feats.select(
         "id",

@@ -24,7 +24,12 @@ _SQL_STOPWORDS = "['" + "','".join(_EN_STOPWORDS) + "']"
 
 
 def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
-    """Append token/char/quality columns to a documents DataFrame."""
+    """Append token/char/quality columns to a documents DataFrame.
+
+    Single source for the stats the battery query certifies — the
+    registered query SELECTS these columns rather than recomputing
+    them, so an edit here lands in front of the oracle immediately
+    instead of drifting silently."""
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -46,24 +51,27 @@ def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
             lambda t: F.trim(t) != "",
         )
     )
+    # Total token length == non-whitespace char count for a whitespace
+    # tokenizer; the regexp form stays in codegen where the equivalent
+    # aggregate(toks, ...) fold is interpreted per element.
+    nonspace = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
     avg_word_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
-        / n_tokens,
+        n_tokens > 0, nonspace.cast("double") / n_tokens
     ).otherwise(F.lit(0.0))
+    alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1))
+    # fastText-style length+alphabetic quality prior in [0, 1].
+    quality = F.least(n_tokens, F.lit(100)) / 100.0 * 0.5 + alpha_ratio * 0.5
     return (
         df.withColumn("n_tokens", n_tokens)
         .withColumn("n_chars_computed", n_chars)
         .withColumn("bpe_tokens", bpe_tokens)
-        .withColumn(
-            "alpha_ratio",
-            F.round(alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
-        )
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
         .withColumn(
             "punct_ratio",
             F.round(punct_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
         )
         .withColumn("avg_word_len", F.round(avg_word_len, 6))
+        .withColumn("quality", F.round(quality, 6))
     )
 
 
@@ -126,28 +134,20 @@ def q_text_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     One query instead of five single-stat queries because that is how a
     100 TB sweep actually runs: every column is a row-local expression,
     so Catalyst fuses them into a single WholeStageCodegen over one
-    parquet scan — N stats for the I/O cost of one. (The individual
-    operators remain available as with_text_stats/with_stopword_ratio.)
+    parquet scan — N stats for the I/O cost of one. Every stat column
+    is SELECTED from with_text_stats/with_stopword_ratio (not
+    recomputed here), so the oracle certifies the operators themselves.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
-    nonspace = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
-    alpha_ratio = alpha.cast("double") / F.greatest(n_chars, F.lit(1))
-    stats = with_text_stats(d, "text")
-    scored = with_stopword_ratio(stats, "text")
+    scored = with_stopword_ratio(with_text_stats(d, "text"), "text")
     return scored.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars_computed"),
+        "n_tokens",
+        "n_chars_computed",
         "bpe_tokens",
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(nonspace.cast("double") / n_tokens, 6).alias("avg_word_len"),
-        F.round(
-            F.least(n_tokens, F.lit(100)) / 100.0 * 0.5 + alpha_ratio * 0.5, 6
-        ).alias("quality"),
+        "alpha_ratio",
+        "avg_word_len",
+        "quality",
         F.col("lang").alias("label_lang"),
         F.when(F.col("stopword_ratio") > 0.08, F.lit("en"))
         .otherwise(F.lit("other"))

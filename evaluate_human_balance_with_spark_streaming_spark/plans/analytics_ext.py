@@ -108,6 +108,11 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4
             ).alias("total_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            # Real grouping-set indicators — classifying sets by the
+            # coalesced 'ALL' label instead would misfile any source row
+            # whose column VALUE is NULL or the literal 'ALL'.
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -115,9 +120,13 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "total_qty",
             "total_price",
+            "g_rf",
+            "g_ls",
         )
     )
-    in_rollup = ~((F.col("returnflag") == "ALL") & (F.col("linestatus") != "ALL"))
+    # ROLLUP(a,b) = CUBE minus the (b)-only set, i.e. grouping(a)=1 AND
+    # grouping(b)=0.
+    in_rollup = ~((F.col("g_rf") == 1) & (F.col("g_ls") == 0))
     ops = F.when(
         in_rollup, F.array(F.lit("rollup"), F.lit("cube"))
     ).otherwise(F.array(F.lit("cube")))

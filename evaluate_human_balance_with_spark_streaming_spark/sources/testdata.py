@@ -60,28 +60,46 @@ def _email_from_custkey(key_col):
     )
 
 
-def stedi_customers_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer table → plain STEDI customer records (pre-encoding)."""
+def stedi_customers_plain(
+    spark: SparkSession, sf_dir: str, with_ts: bool = False
+) -> DataFrame:
+    """Customer table → plain STEDI customer records (pre-encoding).
+
+    ``with_ts`` appends the ``cust_ts`` event-time column used by the
+    watermarked flagship variant (the Kafka-record-timestamp shape):
+    customers spread deterministically across the events table's
+    January-2024 span — epoch 1704067200 (2024-01-01 UTC) +
+    (custkey % 30) days + custkey seconds. Single source for the
+    email/phone/birthDay formulas that the oracle SQL fragments
+    (plans/stedi_queries.py) replay."""
     # NB: measured — spreading this scan (ensure_min_partitions) before
     # the encode chain made the whole suite SLOWER at test scale: the
     # json/base64 expressions are codegen'd and cheap, so the added
     # round-robin shuffle dominates. The spread helper stays reserved
     # for interpreted higher-order hot loops (minhash/simhash/cosine).
     c = load_table(spark, sf_dir, "customer")
-    birth_year = (F.lit(1920) + F.col("c_custkey") % 80).cast("int").cast("string")
+    k = F.col("c_custkey")
+    birth_year = (F.lit(1920) + k % 80).cast("int").cast("string")
     birth_day = F.concat(
         birth_year,
         F.lit("-01-"),
-        F.lpad((F.col("c_custkey") % 28 + 1).cast("string"), 2, "0"),
+        F.lpad((k % 28 + 1).cast("string"), 2, "0"),
     )
-    return c.select(
+    cols = [
         F.col("c_name").alias("customerName"),
-        _email_from_custkey(F.col("c_custkey")).alias("email"),
-        F.concat(F.lit("555"), F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")).alias(
+        _email_from_custkey(k).alias("email"),
+        F.concat(F.lit("555"), F.lpad((k % 10000).cast("string"), 4, "0")).alias(
             "phone"
         ),
         birth_day.alias("birthDay"),
-    )
+    ]
+    if with_ts:
+        cols.append(
+            F.timestamp_seconds(
+                F.lit(1704067200).cast("long") + (k % 30) * 86400 + (k % 86400)
+            ).alias("cust_ts")
+        )
+    return c.select(*cols)
 
 
 def stedi_risk_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,30 +121,12 @@ def stedi_customers_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stedi_customers_wire_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer wire envelopes WITH an event-time side column
-    (``cust_ts``) — the Kafka-record-timestamp shape used by the
-    watermarked flagship variant. cust_ts spreads customers
-    deterministically across the events table's January-2024 span:
-    epoch 1704067200 (2024-01-01 UTC) + (custkey%30) days +
-    custkey seconds."""
+    """Customer wire envelopes WITH the ``cust_ts`` event-time side
+    column (see stedi_customers_plain) — used by the watermarked
+    flagship variant."""
     from ..plans.stedi import encode_customer_envelope
 
-    c = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    cust_ts = F.timestamp_seconds(
-        F.lit(1704067200).cast("long") + (k % 30) * 86400 + (k % 86400)
-    )
-    birth_year = (F.lit(1920) + k % 80).cast("int").cast("string")
-    birth_day = F.concat(
-        birth_year, F.lit("-01-"), F.lpad((k % 28 + 1).cast("string"), 2, "0")
-    )
-    plain = c.select(
-        F.col("c_name").alias("customerName"),
-        _email_from_custkey(k).alias("email"),
-        F.concat(F.lit("555"), F.lpad((k % 10000).cast("string"), 4, "0")).alias("phone"),
-        birth_day.alias("birthDay"),
-        cust_ts.alias("cust_ts"),
-    )
+    plain = stedi_customers_plain(spark, sf_dir, with_ts=True)
     return encode_customer_envelope(plain, keep_cols=("cust_ts",))
 
 
