@@ -95,7 +95,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    # mapInPandas ships EVERY input column through Arrow; drop the
+    # JVM-side meta struct so only (id, modality, payload) crosses.
+    return df.select("id", "modality", "payload").mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )
 
 
 def sample_frames(df: DataFrame, frame_bytes: int = 256) -> DataFrame:
@@ -200,7 +204,9 @@ def resize_payload(df: DataFrame, target_bytes: int = 64) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+    return df.select("id", "modality", "payload").mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )
 
 
 PANDAS_FEATURE_SCHEMA = (
@@ -248,7 +254,11 @@ def featurize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(featurize, schema=PANDAS_FEATURE_SCHEMA)
+    # Only (id, modality, payload) crosses the Arrow boundary — the
+    # metadata struct stays JVM-side (see extract_features).
+    return df.select("id", "modality", "payload").mapInPandas(
+        featurize, schema=PANDAS_FEATURE_SCHEMA
+    )
 
 
 @register(

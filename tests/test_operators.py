@@ -327,3 +327,56 @@ def test_ivf_nprobe_recall_monotone_and_exhaustive_equals_bruteforce(spark, sf_d
     )
     assert len(ivf1 & bf) <= len(ivf2 & bf)
     assert ivf_all == bf
+
+
+def test_rollup_derived_from_cube_matches_native_on_null_and_sentinel_values(spark):
+    """q_grouping_sets_sales derives its rollup branch from the cube
+    output via grouping() indicators. Pin that derivation against a
+    NATIVE rollup on data containing the two values a label-based
+    derivation (coalesce to 'ALL') would misfile: NULL and the literal
+    string 'ALL'."""
+    rows = [
+        ("A", "X", 1.0),
+        ("A", None, 2.0),
+        (None, "X", 4.0),
+        ("ALL", "Y", 8.0),
+        (None, None, 16.0),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, v double")
+
+    def norm(frame):
+        return {
+            (r.a, r.b, r.n, r.s)
+            for r in frame.select(
+                F.coalesce("a", F.lit("ALL")).alias("a"),
+                F.coalesce("b", F.lit("ALL")).alias("b"),
+                F.col("n"),
+                F.col("s"),
+            ).collect()
+        }
+
+    native_rollup = df.rollup("a", "b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+
+    cube = df.cube("a", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.grouping("a").alias("g_a"),
+        F.grouping("b").alias("g_b"),
+    )
+    derived_rollup = cube.filter(
+        ~((F.col("g_a") == 1) & (F.col("g_b") == 0))
+    ).select("a", "b", "n", "s")
+
+    # Native rollup on this data: ("A", NULL-value) and ("A", NULL-set)
+    # are DISTINCT rows that both normalize to ('A','ALL') — compare as
+    # multisets of normalized tuples via sorted lists.
+    native = sorted(norm(native_rollup))
+    derived = sorted(norm(derived_rollup))
+    assert native == derived
+
+    # The label-based classification this replaced would have dropped
+    # the (NULL, 'X') detail row from the derived rollup; assert it is
+    # present with its true aggregate.
+    assert ("ALL", "X", 1, 4.0) in set(derived)
