@@ -118,7 +118,10 @@ def _streaming_warmup(spark, sf_dir: str) -> None:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:  # dir name not of the form sf<number>
+        sf = 0.0
 
     import __spark_entry__ as entrymod
 

@@ -551,6 +551,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -574,6 +575,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Exhausting the iteration budget mid-propagation would return
+        # plausible-looking but WRONG labels (one component split across
+        # several cluster_ids). Fail loudly instead — a component chain
+        # longer than max_iterations means the caller should raise the
+        # budget (rounds needed = graph diameter).
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations above the component graph diameter"
+        )
     # The final label frame stays persisted (the caller's plan reads
     # it); track it so the session cache manager frees it after the
     # consuming query is evaluated.

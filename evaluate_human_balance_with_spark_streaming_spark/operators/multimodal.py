@@ -108,8 +108,12 @@ def sample_frames(df: DataFrame, frame_bytes: int = 256) -> DataFrame:
     explode(sequence(...)) — the fan-out shape of real frame sampling,
     with no Python in the path."""
     n_frames = F.ceil(F.col("meta.byte_len") / F.lit(frame_bytes)).cast("int")
+    # Empty payloads must emit ZERO frames; without the filter,
+    # sequence(0, -1) infers a NEGATIVE step and yields [0, -1] — two
+    # spurious frames of md5('').
     return (
-        df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        df.filter(F.col("meta.byte_len") > 0)
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
         .select(
             "id",
             "frame_idx",

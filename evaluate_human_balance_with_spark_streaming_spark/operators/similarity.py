@@ -140,6 +140,14 @@ def ivf_topk(
         # callers should pass `dim` (single source of truth shared with
         # the oracle) — a .first() here would run a job per plan build.
         dim = _infer_dim(corpus, vec_col)
+    # NB: double avg is partition-merge-order nondeterministic in its
+    # last bits — on BOTH engines (DuckDB's parallel AVG too), so a
+    # decimal-exact mean here would trade one nondeterminism for a
+    # cross-engine rounding mismatch. Acceptable because centroids only
+    # RANK cells (crank ties between near-equal centroid cosines are
+    # the ~1e-16 coincidence case) and candidate cosines are rounded to
+    # 6 digits; at production scale centroids come from offline k-means
+    # anyway, making them plan constants.
     centroids = c.groupBy("cell").agg(
         F.array(
             *[F.avg(F.col("cv").getItem(i)).alias(f"d{i}") for i in range(dim)]

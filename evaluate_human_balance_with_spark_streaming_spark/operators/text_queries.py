@@ -55,9 +55,12 @@ def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
     # tokenizer; the regexp form stays in codegen where the equivalent
     # aggregate(toks, ...) fold is interpreted per element.
     nonspace = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
-    avg_word_len = F.when(
-        n_tokens > 0, nonspace.cast("double") / n_tokens
-    ).otherwise(F.lit(0.0))
+    # Plain division, no zero-guard: a whitespace split never returns an
+    # empty array for non-null text (split('') = ['']), and NULL text
+    # must propagate NULL exactly like the oracle's nonspace/n_tokens —
+    # a when().otherwise(0.0) here would turn NULL into 0.0 and flip
+    # the value hash on any fixture containing a NULL document.
+    avg_word_len = nonspace.cast("double") / n_tokens
     alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1))
     # fastText-style length+alphabetic quality prior in [0, 1].
     quality = F.least(n_tokens, F.lit(100)) / 100.0 * 0.5 + alpha_ratio * 0.5

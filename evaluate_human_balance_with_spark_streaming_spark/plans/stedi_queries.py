@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 from ..sources.testdata import (
     stedi_customers_plain,
     stedi_customers_wire,
-    stedi_risk_plain,
     stedi_risk_wire,
 )
 from . import stedi

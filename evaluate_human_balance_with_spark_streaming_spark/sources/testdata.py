@@ -42,11 +42,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as int64 nanos via
     # spark.sql.legacy.parquet.nanosAsLong (session.RUNTIME_CONF);
-    # convert to a microsecond TimestampType column.
+    # convert to a microsecond TimestampType column. Integer `div`, not
+    # `/ 1000`: float division routes the int64 through a double, which
+    # can't represent every nanos value — measured 22/1000 events at
+    # sf0.001 landing 1µs early (e.g. ...026000000 ns → ...025999 µs),
+    # off-by-a-millisecond once rendered in the SSS wire format.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

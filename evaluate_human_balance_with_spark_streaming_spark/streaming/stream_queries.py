@@ -280,17 +280,13 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     is joined per micro-batch, broadcast when small). The third join
     flavor next to batch-batch and stream-stream; at scale this is the
     dimension-enrichment pattern where only the stream shuffles."""
-    from ..sources.testdata import load_table
+    from ..sources.testdata import _email_from_custkey, load_table
 
     risk_stream = stedi.parse_risk_events(
         _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}")
     )
     dim = load_table(spark, sf_dir, "customer").select(
-        F.concat(
-            F.lit("customer_"),
-            F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
-            F.lit("@example.com"),
-        ).alias("email"),
+        _email_from_custkey(F.col("c_custkey")).alias("email"),
         "c_mktsegment",
     )
     enriched = risk_stream.join(
