@@ -380,3 +380,45 @@ def test_rollup_derived_from_cube_matches_native_on_null_and_sentinel_values(spa
     # the (NULL, 'X') detail row from the derived rollup; assert it is
     # present with its true aggregate.
     assert ("ALL", "X", 1, 4.0) in set(derived)
+
+
+def test_frame_sampling_empty_payload_yields_zero_frames(spark):
+    """sequence(0, n_frames-1) with n_frames=0 would infer a NEGATIVE
+    step and explode [0, -1] — two spurious frames of md5(''). Pin the
+    guard: an empty payload contributes no frames at all."""
+    df = docs_df(spark, [(1, "", "a"), (2, "x" * 10, "a")])
+    frames = sample_frames(attach_binary_payload(df, "text", "doc_id")).collect()
+    assert [(f.id, f.frame_idx, f.frame_len) for f in frames] == [(2, 0, 10)]
+
+
+def test_text_stats_null_text_propagates_null(spark):
+    """with_text_stats must propagate NULL for NULL text the way the
+    SQL oracle does (plain division), not coerce to 0.0."""
+    from evaluate_human_balance_with_spark_streaming_spark.operators.text_queries import (
+        with_text_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "two words", "a")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {r.doc_id: r for r in with_text_stats(df, "text").collect()}
+    assert rows[1].avg_word_len is None
+    assert rows[1].n_tokens is None
+    assert rows[2].avg_word_len == 4.0  # 8 non-space chars / 2 tokens
+    assert rows[2].n_tokens == 2
+
+
+def test_connected_components_raises_when_budget_too_small(spark):
+    """A label chain longer than max_iterations must FAIL, not return
+    a silently split component."""
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 8)]  # path graph, diameter 7
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2)
+    labels = connected_components(pairs, max_iterations=10)
+    assert {r.cluster_id for r in labels.collect()} == {1}
