@@ -125,3 +125,49 @@ def test_dedup_exact_keeps_min_id_per_group(spark, texts, copies):
         want.setdefault(norm(t), []).append(doc_id)
     expect = {min(ids): len(ids) for ids in want.values()}
     assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_simhash_explode_form_equals_single_expression_form(spark, texts):
+    """Two independent SimHash implementations must agree on ANY text:
+    the explode+HashAggregate build the dedup operator uses
+    (simhash_signatures) and the kept single-expression per-row form
+    (functions.hashing.simhash32). Guards the faster path against
+    drifting from the reference definition."""
+    from evaluate_human_balance_with_spark_streaming_spark.functions.hashing import (
+        simhash32,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.functions.text import (
+        tokens,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    expr_form = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", simhash32(tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    agg_form = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(df, "text", "doc_id").collect()
+    }
+    assert agg_form == expr_form
