@@ -97,6 +97,14 @@ def _streaming_warmup(spark, sf_dir: str) -> None:
     stream = stream_parquet_dir(spark, path, schema, max_files_per_trigger=4)
     run_to_memory(spark, stream.groupBy().count(), output_mode="complete").count()
 
+    # Spawn the Python worker pool (one daemon per core) with a no-op
+    # mapInPandas so the first timed Pandas-UDF query measures Arrow
+    # transfer + UDF work, not worker fork/startup — the same
+    # session-init cost class as the streaming machinery above.
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
     # Pre-materialize the synthetic wire inputs the stream_* queries
     # replay (JSON-envelope encode + parquet write of the test tables —
     # input PREPARATION, the stand-in for data already sitting in Kafka,
