@@ -65,7 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (omitted only for
-    genuinely non-SQL-expressible ops — pandas-UDF feature extraction
-    and per-batch stateful emission — which get rows-only checks)."""
+    """DuckDB-runnable ANSI SQL twin for each query. The single
+    omission is ``stream_stateful_risk`` (per-batch stateful emission
+    is genuinely non-SQL → rows-only check); even the pandas-UDF
+    multimodal pass has a byte-exact relational twin."""
     return registry.all_oracles()
