@@ -85,3 +85,50 @@ def test_partitioned_write_prunes_at_scan(spark, events, tmp_path_factory):
     n_click = df.count()
     n_all = events.count()
     assert 0 < n_click < n_all
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, asserted on the EXECUTED plan: one hot
+    key dominating a sort-merge join must be split into multiple tasks
+    at runtime ('skew=true' on the SortMergeJoin node). This is the
+    no-manual-salting path the session config
+    (spark.sql.adaptive.skewJoin.enabled) claims; the salted-key
+    aggregate (q_salted_hot_key_agg) remains the explicit fallback
+    where AQE can't see the skew (e.g. pre-aggregation)."""
+    confs = {
+        # Make the tiny test partitions look skewed to AQE.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # Force a sort-merge join so skew handling (not broadcast) kicks in.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 50k rows on ONE key + 100 singleton keys vs a 101-key dim.
+        left = spark.range(50_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        ).union(
+            spark.range(1, 101).select(
+                F.col("id").alias("k"), F.col("id").alias("payload")
+            )
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = left.join(right, "k")
+        # Materialize THIS DataFrame's own query execution (a count()
+        # would spawn a separate one whose adaptive plan we can't read).
+        assert len(joined.collect()) == 50_100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
