@@ -10,6 +10,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import math
 import sys
 import time
 import traceback
@@ -17,8 +18,71 @@ import traceback
 sys.path.insert(0, ".")
 
 import duckdb
+import pandas as pd
 
 from evaluate_human_balance_with_spark_streaming_spark.session import get_spark
+
+
+def _spark_kind(dt: str) -> str:
+    if dt in ("bigint", "int", "smallint", "tinyint"):
+        return "int"
+    if dt in ("double", "float"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return {"string": "str", "date": "date", "boolean": "bool", "binary": "bytes"}.get(
+        dt, dt
+    )
+
+
+def _pandas_kind(dtype, sample) -> str:
+    import datetime
+    import decimal
+
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "ts"
+    if k == "b":
+        return "bool"
+    if k == "O":
+        if isinstance(sample, str):
+            return "str"
+        if isinstance(sample, bytes):
+            return "bytes"
+        if isinstance(sample, decimal.Decimal):
+            return "decimal"
+        if isinstance(sample, datetime.datetime):
+            return "ts"
+        if isinstance(sample, datetime.date):
+            return "date"
+        return "obj:" + type(sample).__name__
+    return k
+
+
+def _dtype_kind_diffs(sdf, pdf):
+    """Columns whose Spark type KIND differs from what the driver's
+    pandas fetch of the DuckDB result yields (int vs float vs str...) —
+    the value hash compares rendered cells, so a kind mismatch flips it
+    even when the math agrees."""
+    skinds = {c: _spark_kind(dt) for c, dt in sdf.dtypes}
+    out = []
+    for c in pdf.columns:
+        if c not in skinds:
+            continue
+        nn = pdf[c].dropna()
+        sample = nn.iloc[0] if len(nn) else None
+        dk = _pandas_kind(pdf[c].dtype, sample)
+        if sample is None and pdf[c].dtype.kind == "O":
+            continue  # all-NULL object column: kind unknowable
+        if dk != skinds[c]:
+            out.append((c, skinds[c], dk))
+    return out
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -35,7 +99,9 @@ def normalize_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # Collapse -0.0/0.0 and render with repr for full precision.
+        # Collapse -0.0/0.0 and render with repr for full precision;
+        # float() strips numpy scalar types (numpy 2 repr differs).
+        v = float(v)
         if v == 0:
             return "0.0"
         return repr(v)
@@ -91,9 +157,23 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch via pandas — the DRIVER's path. Round 1 proved the
+            # difference matters: fetchall() keeps DuckDB HUGEINT as a
+            # Python int (hash-matches Spark's bigint), while the
+            # Arrow/pandas fetch turns it into float64 ("123.0" vs
+            # "123") — the q_pivot_segment_status false-pass. Hashing
+            # what pandas yields makes this gate a faithful emulator.
+            pdf = con.execute(oracles[name]).df()
+            ocols = list(pdf.columns)
+            orows = [
+                tuple(
+                    None
+                    if (isinstance(v, float) and math.isnan(v)) or v is pd.NaT
+                    else v
+                    for v in row
+                )
+                for row in pdf.itertuples(index=False, name=None)
+            ]
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
@@ -104,6 +184,12 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(ocols)}")
+        dtype_diffs = [
+            f"{c}: spark={sk} duckdb-pandas={dk}"
+            for c, sk, dk in _dtype_kind_diffs(sdf, pdf)
+        ]
+        if dtype_diffs:
+            problems.append("fetched-dtype mismatch [" + "; ".join(dtype_diffs) + "]")
         if not problems:
             sh = value_hash(srows, scols)
             oh = value_hash(orows, ocols)
