@@ -82,6 +82,7 @@ def _baseline_timings() -> dict[str, float]:
 def _streaming_warmup(spark, sf_dir: str) -> None:
     import tempfile
 
+    from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructField, StructType
 
     from evaluate_human_balance_with_spark_streaming_spark.sources.files import (
@@ -96,6 +97,13 @@ def _streaming_warmup(spark, sf_dir: str) -> None:
     schema = StructType([StructField("id", LongType())])
     stream = stream_parquet_dir(spark, path, schema, max_files_per_trigger=4)
     run_to_memory(spark, stream.groupBy().count(), output_mode="complete").count()
+    # ...and a tiny stream-stream join: the symmetric-hash-join state
+    # machinery JITs separately from the aggregate path above.
+    s1 = stream_parquet_dir(spark, path, schema, max_files_per_trigger=4)
+    s2 = stream_parquet_dir(spark, path, schema, max_files_per_trigger=4).select(
+        F.col("id").alias("id2")
+    )
+    run_to_memory(spark, s1.join(s2, s1["id"] == s2["id2"])).count()
 
     # Spawn the Python worker pool (one daemon per core) with a no-op
     # mapInPandas so the first timed Pandas-UDF query measures Arrow
