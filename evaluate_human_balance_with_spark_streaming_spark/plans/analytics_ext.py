@@ -483,8 +483,15 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting (enabled) for residual imbalance."""
     from pyspark.sql.window import Window
 
+    from ..caching import managed_persist
+
     e = load_table(spark, sf_dir, "events")
-    ud = (
+    # Persist the slim (user, day, n) profile table: it feeds BOTH
+    # sides of the day self-join plus the norm aggregate, and without
+    # the barrier the events scan+aggregate runs three times (measured
+    # 6.9s → 2.3s warm at sf0.1). At 100 TB this is the materialized
+    # profile table the pair join reads.
+    ud = managed_persist(
         e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
