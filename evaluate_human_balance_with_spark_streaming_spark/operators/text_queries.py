@@ -253,8 +253,14 @@ def q_text_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-match on 40-char prefixes within source
     blocks — the fuzzy-match complement to shingle Jaccard (catches
     char-level noise: OCR errors, encoding damage). Blocked join keeps
-    the pair count bounded; the prefix cap bounds per-pair cost (full-
-    text levenshtein is O(len²) — never run it unblocked at scale)."""
+    the pair count bounded; the prefix cap bounds per-pair cost, and
+    the BOUNDED levenshtein (threshold arg → banded O(d·len) dynamic
+    program, early exit past the bound; measured 2× at sf0.1) bounds
+    it further — full-text unbounded levenshtein is O(len²), never run
+    it unblocked at scale. No sound shingle/band candidate pruning
+    exists for edit distance (insertions shift alignment, breaking the
+    pigeonhole that SimHash/LSH banding relies on), so within-block
+    all-pairs with a cheap bounded kernel IS the scale shape."""
     d = load_table(spark, sf_dir, "documents")
     a = d.select(
         F.col("doc_id").alias("id_a"),
@@ -269,8 +275,9 @@ def q_text_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("edit_dist", F.levenshtein("ta", "tb"))
-        .filter(F.col("edit_dist") <= 10)
+        # threshold form returns -1 when the distance exceeds 10.
+        .withColumn("edit_dist", F.levenshtein("ta", "tb", 10))
+        .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
 
