@@ -152,6 +152,7 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check, {time.time()-t0:.1f}s)")
             n_rowsonly += 1
@@ -215,10 +216,16 @@ def main() -> int:
                 for s in list(oset - sset)[:3]:
                     print(f"        duck-only:  {s!r}")
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
+            print(
+                f"FAIL  {name}: {'; '.join(problems)} "
+                f"(spark {t_spark:.1f}s, duck {time.time()-t0-t_spark:.1f}s)"
+            )
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(
+                f"PASS  {name}: {len(srows)} rows "
+                f"(spark {t_spark:.1f}s, duck {time.time()-t0-t_spark:.1f}s)"
+            )
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
