@@ -239,15 +239,23 @@ def stedi_corruption_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls (never a crashed stream — the SURVEY §7 hard requirement);
     this query proves the engine also COUNTS what it dropped, because
     silent data loss at 100 TB is unfindable after the fact."""
-    wire = stedi_customers_wire(spark, sf_dir)
-    # Deterministically corrupt every 7th record (keyed on the custkey
-    # recovered from the inner payload before corruption).
-    custkey = F.unbase64(
-        F.get_json_object(F.col("value"), "$.zSetEntries[0].element")
-    ).cast("string")
-    custkey_num = F.regexp_extract(custkey, r"customer_(\d+)@", 1).cast("bigint")
+    # Deterministically corrupt every 7th record, keyed on the custkey
+    # AT ENCODE TIME (carried through the encoder via keep_cols) —
+    # recovering the key from the encoded wire itself would cost an
+    # extra unbase64 + get_json_object + regexp pass per row before the
+    # decode chain even starts (measured ~2× this query at sf0.1).
+    plain = stedi_customers_plain(spark, sf_dir)
+    custkey_num = F.regexp_extract(
+        F.col("customerName"), r"(\d+)$", 1
+    ).cast("bigint")
+    wire = stedi.encode_customer_envelope(
+        plain.withColumn("_ck", custkey_num), keep_cols=("_ck",)
+    )
     corrupted_wire = wire.select(
-        F.when(custkey_num % 7 == 0, F.concat(F.lit("corrupt!"), custkey_num.cast("string")))
+        F.when(
+            F.col("_ck") % 7 == 0,
+            F.concat(F.lit("corrupt!"), F.col("_ck").cast("string")),
+        )
         .otherwise(F.col("value"))
         .alias("value")
     )
