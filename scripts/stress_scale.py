@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Scale-stress harness: run the heaviest operators on K×-replicated
+driver parquet and measure how wall time grows with DATA, separating
+the data-dependent component from the per-query fixed costs that
+dominate the sf0.001→sf0.1 sweep (SCALING.md).
+
+Replication happens JVM-side (explode(sequence)) on the driver-provided
+tables — no synthetic test data is written anywhere; ids are remapped
+per copy so cardinalities grow honestly, and document text is salted
+with a per-copy token so replicated docs are NEAR-duplicates (the
+dup-heavy web-crawl shape that dedup exists for — the worst case for
+the candidate-pair path, since every original doc gains K-1 mirrors).
+
+Usage: python scripts/stress_scale.py [sf_dir] [K ...]   (default 1 10)
+Prints one table row per (workload, K): wall seconds + result rows.
+Results feed the "×10 replication stress" section of SCALING.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from evaluate_human_balance_with_spark_streaming_spark.caching import release_managed
+from evaluate_human_balance_with_spark_streaming_spark.operators import dedup, similarity
+from evaluate_human_balance_with_spark_streaming_spark.session import get_spark
+from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+    load_table,
+    stedi_customers_wire,
+    stedi_risk_wire,
+)
+
+STRIDE = 10_000_000  # id remap stride per copy — far above any sf's key range
+
+
+def replicated(df, k, id_cols=(), salt_col=None):
+    """K copies of df, JVM-side: ids shifted by copy*STRIDE so key
+    cardinality scales with K; salt_col (text) gets a per-copy leading
+    token so copies are near- but not byte-identical."""
+    if k == 1:
+        return df
+    d = df.withColumn("_copy", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    for c in id_cols:
+        d = d.withColumn(c, F.col(c) + F.col("_copy") * F.lit(STRIDE))
+    if salt_col is not None:
+        d = d.withColumn(
+            salt_col, F.concat(F.format_string("c%d ", F.col("_copy")), F.col(salt_col))
+        )
+    return d.drop("_copy")
+
+
+def wl_lineitem_pricing(spark, sf_dir, k):
+    """Scan+aggregate scaling: K× lineitem rows through the pricing
+    summary shape (same groups — pure per-row cost)."""
+    li = replicated(load_table(spark, sf_dir, "lineitem"), k)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def wl_exact_dedup(spark, sf_dir, k):
+    """Hash-groupBy dedup with K-way duplicate groups (text NOT salted
+    — every copy is byte-identical, the max group fan-in case)."""
+    docs = replicated(load_table(spark, sf_dir, "documents"), k, id_cols=("doc_id",))
+    return dedup.dedup_exact(docs, "text", "doc_id")
+
+
+def wl_minhash_lsh(spark, sf_dir, k):
+    """MinHash+LSH on a dup-heavy corpus: K× docs where each original
+    has K-1 salted near-dup mirrors → candidate pairs grow ~K² inside
+    each band bucket. Stresses signature build AND pair verify."""
+    docs = replicated(
+        load_table(spark, sf_dir, "documents"), k, id_cols=("doc_id",), salt_col="text"
+    )
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+
+
+def wl_simhash_pairs(spark, sf_dir, k):
+    """SimHash hamming-banded pairs on the same dup-heavy corpus."""
+    docs = replicated(
+        load_table(spark, sf_dir, "documents"), k, id_cols=("doc_id",), salt_col="text"
+    )
+    return dedup.simhash_pairs(docs, "text", "doc_id")
+
+
+def wl_ann_ivf(spark, sf_dir, k):
+    """IVF top-k with a K× corpus and a FIXED query set (the serving
+    shape: corpus grows, query batch doesn't)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = replicated(emb, k, id_cols=("vec_id",))
+    queries = emb.filter(F.col("vec_id") % 80 == 0)
+    return similarity.ivf_topk(
+        corpus, queries, "embedding", "vec_id", cell_col="label", k=5, dim=64
+    )
+
+
+def wl_stream_flagship(spark, sf_dir, k):
+    """Streaming flagship join with K× the event volume against the
+    unreplicated customer side (the production shape: facts >> dims).
+    Output rows = K × the batch flagship's, state bounded by the
+    customer side."""
+    from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        run_to_memory,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
+        _materialize_wire_stream,
+    )
+
+    redis_stream = _materialize_wire_stream(
+        spark, stedi_customers_wire(spark, sf_dir), f"stress-cust@{sf_dir}"
+    )
+    events_stream = _materialize_wire_stream(
+        spark,
+        replicated(stedi_risk_wire(spark, sf_dir), k),
+        f"stress-risk-x{k}@{sf_dir}",
+    )
+    joined = stedi.flagship_pipeline(redis_stream, events_stream)
+    return run_to_memory(spark, joined, output_mode="append")
+
+
+WORKLOADS = [
+    ("lineitem_pricing", wl_lineitem_pricing),
+    ("exact_dedup", wl_exact_dedup),
+    ("minhash_lsh", wl_minhash_lsh),
+    ("simhash_pairs", wl_simhash_pairs),
+    ("ann_ivf", wl_ann_ivf),
+    ("stream_flagship", wl_stream_flagship),
+]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and not args[0].isdigit() else "/root/testdata/sf0.1"
+    ks = [int(a) for a in args] or [1, 10]
+    spark = get_spark("stress-scale")
+    # Warm the session once (scan + codegen + python-free agg path) so
+    # K=1 doesn't absorb cold-start and the K ratio stays honest.
+    load_table(spark, sf_dir, "lineitem").count()
+    print(f"{'workload':<18} {'K':>3} {'wall_s':>8} {'rows':>10}")
+    results: dict[str, dict[int, float]] = {}
+    for name, fn in WORKLOADS:
+        for k in ks:
+            release_managed()
+            t = time.time()
+            n = fn(spark, sf_dir, k).count()
+            wall = time.time() - t
+            results.setdefault(name, {})[k] = wall
+            print(f"{name:<18} {k:>3} {wall:>8.1f} {n:>10}")
+    if len(ks) >= 2:
+        lo, hi = ks[0], ks[-1]
+        print(f"\nwall ratio K={hi} vs K={lo} (data ratio {hi / lo:.0f}×):")
+        for name, r in results.items():
+            print(f"  {name:<18} {r[hi] / max(r[lo], 1e-9):>6.2f}×")
+
+
+if __name__ == "__main__":
+    main()
