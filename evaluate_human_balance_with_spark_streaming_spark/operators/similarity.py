@@ -30,8 +30,9 @@ from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table
 
-# Vector width of the embeddings fixture (TESTDATA.md); the ivf oracle's
-# range(1, EMBEDDING_DIM+1) and the Spark centroid build share this.
+# Vector width of the embeddings fixture (TESTDATA.md). Only the ivf
+# ORACLE (a static SQL string, range(1, EMBEDDING_DIM+1)) depends on
+# this; the Spark centroid build is width-agnostic (posexplode).
 EMBEDDING_DIM = 64
 
 
@@ -92,14 +93,6 @@ def brute_force_topk(
     )
 
 
-def _infer_dim(corpus: DataFrame, vec_col: str) -> int:
-    """Fallback vector-width sniff (one driver-side action). Prefer
-    passing ``dim`` explicitly — array columns carry no length in the
-    parquet schema, so inference costs a job and silently assumes
-    uniform dims."""
-    return len(corpus.select(vec_col).first()[0])
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,7 +100,6 @@ def ivf_topk(
     id_col: str,
     cell_col: str,
     k: int = 5,
-    dim: int | None = None,
     n_probe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: centroids = per-cell mean vectors; each query is
@@ -119,10 +111,6 @@ def ivf_topk(
     while staying bounded (n_probe × avg cell size per query — never
     all-pairs); with n_probe = number of cells the result provably
     equals brute force (pinned by a unit test).
-
-    ``dim`` is the vector width (e.g. 64 for the embeddings fixture);
-    pass it explicitly so plan construction stays action-free and the
-    oracle's range(1, dim+1) shares the same source of truth.
     """
     from ..functions.vectors import dot_product, l2_norm
 
@@ -135,11 +123,13 @@ def ivf_topk(
         )
         .withColumn("cn", l2_norm(F.col("cv")))
     )
-    if dim is None:
-        # Read the vector width from table metadata only as a fallback;
-        # callers should pass `dim` (single source of truth shared with
-        # the oracle) — a .first() here would run a job per plan build.
-        dim = _infer_dim(corpus, vec_col)
+    # Per-cell mean vector in long form: posexplode → avg per (cell,
+    # dim index) → reassemble ordered. Width-agnostic (no dim parameter
+    # or driver-side sniff needed) and each generated codegen unit stays
+    # narrow — a 64-column avg(getItem(i)) aggregate compiles a single
+    # huge janino class whose JIT cost (~seconds) dwarfs the query at
+    # bench scale and grows with dim; the long-form shuffle moves only
+    # |corpus|×dim (cell, i, v) doubles and aggregates map-side first.
     # NB: double avg is partition-merge-order nondeterministic in its
     # last bits — on BOTH engines (DuckDB's parallel AVG too), so a
     # decimal-exact mean here would trade one nondeterminism for a
@@ -148,10 +138,17 @@ def ivf_topk(
     # the ~1e-16 coincidence case) and candidate cosines are rounded to
     # 6 digits; at production scale centroids come from offline k-means
     # anyway, making them plan constants.
-    centroids = c.groupBy("cell").agg(
-        F.array(
-            *[F.avg(F.col("cv").getItem(i)).alias(f"d{i}") for i in range(dim)]
-        ).alias("centroid")
+    centroids = (
+        c.select("cell", F.posexplode("cv").alias("i", "v"))
+        .groupBy("cell", "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
@@ -275,11 +272,9 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed top-5: per-label centroids as the coarse quantizer,
-    n_probe=1 — the bounded-candidate scale path for ANN. EMBEDDING_DIM
-    is the single source of truth shared with the oracle's
-    range(1, 65)."""
+    n_probe=1 — the bounded-candidate scale path for ANN. The Spark
+    side infers nothing about vector width (posexplode centroids);
+    only the static oracle SQL pins EMBEDDING_DIM via range(1, 65)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
-    return ivf_topk(
-        emb, queries, "embedding", "vec_id", "label", k=5, dim=EMBEDDING_DIM
-    )
+    return ivf_topk(emb, queries, "embedding", "vec_id", "label", k=5)

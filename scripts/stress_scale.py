@@ -97,7 +97,7 @@ def wl_ann_ivf(spark, sf_dir, k):
     corpus = replicated(emb, k, id_cols=("vec_id",))
     queries = emb.filter(F.col("vec_id") % 80 == 0)
     return similarity.ivf_topk(
-        corpus, queries, "embedding", "vec_id", cell_col="label", k=5, dim=64
+        corpus, queries, "embedding", "vec_id", cell_col="label", k=5
     )
 
 

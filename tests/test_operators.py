@@ -289,7 +289,6 @@ def test_ivf_nprobe_recall_monotone_and_exhaustive_equals_bruteforce(spark, sf_d
     from pyspark.sql import functions as F
 
     from evaluate_human_balance_with_spark_streaming_spark.operators.similarity import (
-        EMBEDDING_DIM,
         brute_force_topk,
         ivf_topk,
     )
@@ -310,19 +309,19 @@ def test_ivf_nprobe_recall_monotone_and_exhaustive_equals_bruteforce(spark, sf_d
     ivf1 = pairs(
         ivf_topk(
             emb, queries, "embedding", "vec_id", "label",
-            k=3, dim=EMBEDDING_DIM, n_probe=1,
+            k=3, n_probe=1,
         ).drop("cell")
     )
     ivf2 = pairs(
         ivf_topk(
             emb, queries, "embedding", "vec_id", "label",
-            k=3, dim=EMBEDDING_DIM, n_probe=2,
+            k=3, n_probe=2,
         ).drop("cell")
     )
     ivf_all = pairs(
         ivf_topk(
             emb, queries, "embedding", "vec_id", "label",
-            k=3, dim=EMBEDDING_DIM, n_probe=n_cells,
+            k=3, n_probe=n_cells,
         ).drop("cell")
     )
     assert len(ivf1 & bf) <= len(ivf2 & bf)
