@@ -171,3 +171,50 @@ def test_simhash_explode_form_equals_single_expression_form(spark, texts):
         for r in simhash_signatures(df, "text", "doc_id").collect()
     }
     assert agg_form == expr_form
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components (iterative min-label propagation with
+    per-round localCheckpoint lineage truncation) must agree with a
+    plain-Python union-find on ANY random pair graph: same node set,
+    same cluster_id = min node id per component. Guards the distributed
+    propagation (and its convergence test) against off-by-one-round
+    bugs that a single fixed dataset would not expose."""
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(df, max_iterations=30).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    expect = {
+        (n, min(group)) for group in members.values() for n in group
+    }
+    assert got == expect
