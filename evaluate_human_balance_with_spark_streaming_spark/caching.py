@@ -2,7 +2,7 @@
 
 Several operators persist intermediate DataFrames as deliberate
 optimization barriers (e.g. the MinHash shingle table — see
-operators/dedup.py::with_minhash for the measured 21× CollapseProject
+operators/dedup.py::with_shingles for the measured 21× CollapseProject
 trap). Those caches must outlive plan construction (the driver
 evaluates the returned DataFrame later), so the operator cannot
 unpersist them itself — but across a 60-query correctness/bench

@@ -113,6 +113,15 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would give every doc the same empty-slice
+        # band key (the bounded candidate join degenerates to all-pairs
+        # n^2); a non-divisor silently drops the trailing hashes below
+        # the configured signature width.
+        raise ValueError(
+            f"bands must divide num_hashes exactly, got num_hashes="
+            f"{num_hashes}, bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     base = with_shingles(df, text_col, shingle_n)
     # Persisted slim signature table: consumed by both sides of the
@@ -309,7 +318,7 @@ def simhash_pairs(
     mask = (1 << bits_per_band) - 1
     # Persist barrier on the slim (id, simhash) table: the banded
     # self-join consumes it on BOTH sides and the signature aggregate
-    # would otherwise run twice. Same rationale as with_minhash;
+    # would otherwise run twice. Same rationale as with_shingles;
     # released by the query wrapper after evaluation.
     sig = managed_persist(simhash_signatures(df, text_col, id_col))
     banded = sig.select(
@@ -567,42 +576,55 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     scale-out CC for dedup clustering (pair graphs are shallow: near-dup
     clusters are cliques-ish, so 2-3 rounds in practice).
 
-    The input `pairs` plan is re-evaluated every round — pass a
-    persisted DataFrame (this function persists internally).
+    The input `pairs` plan is evaluated ONCE here (edge materialization
+    at the session's full parallelism); the propagation rounds then run
+    over the materialized edge blocks at a reduced partition count.
     """
+    if max_iterations <= 0:
+        # A non-positive budget would skip the loop and return every
+        # node as its own singleton cluster — the silent-wrong-labels
+        # case the convergence guard below exists to prevent.
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     spark = pairs.sparkSession
+    # Materialize the symmetrized edge set BEFORE touching the shuffle
+    # conf: `pairs` is typically a built-but-unevaluated plan (the LSH
+    # candidate pipeline), and batch plans read the conf at plan time —
+    # pinning first would run the whole upstream corpus pipeline at the
+    # reduced width. localCheckpoint also truncates the upstream
+    # lineage, so no round re-plans the LSH pipeline.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
     # Near-dup pair graphs are orders of magnitude smaller than the
     # corpus; at 32 shuffle partitions each tiny propagation round pays
     # ~32 task launches per stage (measured 3.1s for a 256-edge graph).
-    # Pin a small count for the rounds — batch plans read the conf at
-    # plan time, so this scopes to the iteration frames built below.
-    # On a cluster-sized pair graph, size this to cores instead.
+    # Pin a small count for the rounds only — the edge blocks above are
+    # already materialized at full width. On a cluster-sized pair
+    # graph, size this to cores instead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
     )
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .persist()
-    )
-    # Each round MUST truncate the logical plan, not just cache rows:
-    # persist() keeps the full lineage, so round k's plan nests rounds
-    # 1..k-1 and Catalyst re-analyzes a tree that grows linearly with
-    # the round count — measured ~1.5-2s of pure planning per round on
-    # a 25-edge graph. localCheckpoint (eager) materializes to executor
-    # storage AND replaces the plan with a scan of those blocks, making
-    # per-round cost flat; the ContextCleaner frees dropped rounds'
-    # blocks. On a multi-executor cluster prefer reliable checkpoint()
-    # to an HDFS dir for fault tolerance — same lineage-truncation role.
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
     changed = 0
     try:
+        # Each round MUST truncate the logical plan, not just cache
+        # rows: persist() keeps the full lineage, so round k's plan
+        # nests rounds 1..k-1 and Catalyst re-analyzes a tree that
+        # grows linearly with the round count — measured ~1.5-2s of
+        # pure PLANNING per round on a 25-edge graph. localCheckpoint
+        # (eager) materializes to executor storage AND replaces the
+        # plan with a scan of those blocks, making per-round cost flat;
+        # the ContextCleaner frees dropped rounds' blocks. On a
+        # multi-executor cluster prefer reliable checkpoint() to an
+        # HDFS dir for fault tolerance — same lineage-truncation role.
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
         for _ in range(max_iterations):
             neighbor_labels = (
                 edges.join(labels, edges["src"] == labels["node"])
@@ -628,7 +650,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    edges.unpersist()
     if changed != 0:
         # Exhausting the iteration budget mid-propagation would return
         # plausible-looking but WRONG labels (one component split across

@@ -66,6 +66,30 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+def _payload_features(raw: bytes) -> tuple[int, float, str]:
+    """Row-level deterministic fake features (byte_len, mean_byte,
+    md5-prefix crc) — SINGLE definition shared by every mapInPandas
+    pass so the oracle-certified fused path and the standalone path
+    cannot drift apart."""
+    import hashlib
+
+    return (
+        len(raw),
+        (sum(raw) / len(raw)) if len(raw) else 0.0,
+        hashlib.md5(raw).hexdigest()[:8],
+    )
+
+
+def _stride_resize(raw: bytes, target_bytes: int) -> bytes:
+    """Row-level deterministic stride 'resize' to a fixed byte budget
+    (int(i*stride) is floor() — the oracle twin mirrors it). Shared by
+    resize_payload and featurize_payloads."""
+    if len(raw) <= target_bytes:
+        return raw
+    stride = len(raw) / target_bytes
+    return bytes(raw[int(i * stride)] for i in range(target_bytes))
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over payload binaries.
 
@@ -73,25 +97,20 @@ def extract_features(df: DataFrame) -> DataFrame:
     prefix) stand in for an embedding model; the mapInPandas plumbing —
     schema, batching, per-partition iteration — is the real article.
     """
-    import hashlib
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                decode_payload(bytes(p), m)
+            feats = [
+                _payload_features(decode_payload(bytes(p), m))
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "modality": pdf["modality"],
-                    "byte_len": [len(p) for p in payloads],
-                    "mean_byte": [
-                        (sum(p) / len(p)) if len(p) else 0.0 for p in payloads
-                    ],
-                    "feature_crc": [
-                        hashlib.md5(p).hexdigest()[:8] for p in payloads
-                    ],
+                    "byte_len": [f[0] for f in feats],
+                    "mean_byte": [f[1] for f in feats],
+                    "feature_crc": [f[2] for f in feats],
                 }
             )
 
@@ -173,7 +192,12 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides keep only non-empty ASCII docs, where the oracle's char-based
     substr equals the payload's byte slicing (and ceil(0/256)=0 never
     reaches sequence()). Non-ASCII payloads still flow through
-    sample_frames itself — only the oracle twin needs the restriction."""
+    sample_frames itself — only the oracle twin needs the restriction.
+    FIXTURE BOUND: the oracle enumerates frame indexes from
+    range(0, 1000), i.e. it certifies docs up to 1000*256 = 256,000
+    bytes; the Spark side is unbounded. Like EMBEDDING_DIM in
+    similarity.py this is a pinned property of the driver fixtures
+    (max document length ~2 KB) — raise the range if fixtures grow."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").rlike("^[\\x00-\\x7F]+$")
     )
@@ -192,14 +216,10 @@ def resize_payload(df: DataFrame, target_bytes: int = 64) -> DataFrame:
 
     def resize(batches):
         for pdf in batches:
-            out = []
-            for p, m in zip(pdf["payload"], pdf["modality"]):
-                raw = decode_payload(bytes(p), m)
-                if len(raw) <= target_bytes:
-                    out.append(raw)
-                else:
-                    stride = len(raw) / target_bytes
-                    out.append(bytes(raw[int(i * stride)] for i in range(target_bytes)))
+            out = [
+                _stride_resize(decode_payload(bytes(p), m), target_bytes)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -234,25 +254,14 @@ def featurize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
                 decode_payload(bytes(p), m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
-            resized = []
-            for raw in payloads:
-                if len(raw) <= target_bytes:
-                    resized.append(raw)
-                else:
-                    stride = len(raw) / target_bytes
-                    resized.append(
-                        bytes(raw[int(i * stride)] for i in range(target_bytes))
-                    )
+            feats = [_payload_features(p) for p in payloads]
+            resized = [_stride_resize(p, target_bytes) for p in payloads]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "byte_len": [len(p) for p in payloads],
-                    "mean_byte": [
-                        (sum(p) / len(p)) if len(p) else 0.0 for p in payloads
-                    ],
-                    "feature_crc": [
-                        hashlib.md5(p).hexdigest()[:8] for p in payloads
-                    ],
+                    "byte_len": [f[0] for f in feats],
+                    "mean_byte": [f[1] for f in feats],
+                    "feature_crc": [f[2] for f in feats],
                     "out_len": [len(r) for r in resized],
                     "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
                 }

@@ -64,17 +64,20 @@ def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
     alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1))
     # fastText-style length+alphabetic quality prior in [0, 1].
     quality = F.least(n_tokens, F.lit(100)) / 100.0 * 0.5 + alpha_ratio * 0.5
+    # Ratios stay UNROUNDED here: threshold consumers (the curation
+    # gate's alpha_ratio >= 0.6) must compare the raw double exactly
+    # like their oracles; output queries round at their select.
     return (
         df.withColumn("n_tokens", n_tokens)
         .withColumn("n_chars_computed", n_chars)
         .withColumn("bpe_tokens", bpe_tokens)
-        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("alpha_ratio", alpha_ratio)
         .withColumn(
             "punct_ratio",
-            F.round(punct_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+            punct_chars.cast("double") / F.greatest(n_chars, F.lit(1)),
         )
-        .withColumn("avg_word_len", F.round(avg_word_len, 6))
-        .withColumn("quality", F.round(quality, 6))
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("quality", quality)
     )
 
 
@@ -83,11 +86,13 @@ def with_stopword_ratio(df: DataFrame, text_col: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
     hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    # UNROUNDED: the ratio is only ever compared against thresholds
+    # (never output), and every oracle compares the raw double — a
+    # 6-dp round here would flip docs whose true ratio sits inside
+    # (0.08, 0.0800005] to the other side of the language gate.
     return df.withColumn(
         "stopword_ratio",
-        F.round(
-            hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
-        ),
+        hits.cast("double") / F.greatest(F.size(toks), F.lit(1)),
     ).withColumn("distinct_stopwords", n_stop)
 
 
@@ -148,9 +153,9 @@ def q_text_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_chars_computed",
         "bpe_tokens",
-        "alpha_ratio",
-        "avg_word_len",
-        "quality",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("quality", 6).alias("quality"),
         F.col("lang").alias("label_lang"),
         F.when(F.col("stopword_ratio") > 0.08, F.lit("en"))
         .otherwise(F.lit("other"))
@@ -371,16 +376,13 @@ def q_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst fuses the three row-local gates into one scan pass, the
     dedup is the only shuffle, the sample is a post-aggregation filter."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")).cast("double")
-        / F.greatest(F.length("text"), F.lit(1))
-    )
-    scored = with_stopword_ratio(d, "text").withColumn("n_tokens", n_tokens)
+    # Gate on the SAME columns the stats battery certifies (selected
+    # from with_text_stats / with_stopword_ratio, not re-derived) — an
+    # edit to the stat definitions lands in front of both oracles.
+    scored = with_stopword_ratio(with_text_stats(d, "text"), "text")
     kept = scored.filter(
         (F.col("n_tokens") >= 20)
-        & (alpha_ratio >= 0.6)
+        & (F.col("alpha_ratio") >= 0.6)
         & (F.col("stopword_ratio") > 0.08)
     )
     deduped = (

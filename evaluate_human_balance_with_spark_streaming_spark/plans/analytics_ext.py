@@ -72,7 +72,7 @@ def q_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                COUNT(*) AS n_rows,
                ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 4) AS total_qty,
-               ROUND(SUM(l_extendedprice), 4) AS total_price
+               ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE, 4) AS total_price
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         UNION ALL
@@ -81,7 +81,7 @@ def q_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                COUNT(*) AS n_rows,
                ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 4) AS total_qty,
-               ROUND(SUM(l_extendedprice), 4) AS total_price
+               ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE, 4) AS total_price
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -107,7 +107,12 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4
             ).alias("total_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_price"),
             # Real grouping-set indicators — classifying sets by the
             # coalesced 'ALL' label instead would misfile any source row
             # whose column VALUE is NULL or the literal 'ALL'.

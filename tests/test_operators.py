@@ -421,3 +421,25 @@ def test_connected_components_raises_when_budget_too_small(spark):
         connected_components(pairs, max_iterations=2)
     labels = connected_components(pairs, max_iterations=10)
     assert {r.cluster_id for r in labels.collect()} == {1}
+
+
+def test_operator_parameter_guards_raise_instead_of_degenerating(spark):
+    """Parameter combinations that would silently produce wrong or
+    degenerate plans must raise: a non-positive CC iteration budget
+    would return singleton labels without converging, and bands not
+    dividing num_hashes would either drop signature hashes (lower
+    recall) or hash an empty slice (every doc in one bucket -> the
+    'bounded' candidate join degenerates to all-pairs n^2)."""
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError, match="max_iterations"):
+        connected_components(pairs, max_iterations=0)
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=3)
