@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _MANAGED: list[DataFrame] = []
+_CALLBACKS: list = []
 
 
 def managed_persist(df: DataFrame) -> DataFrame:
@@ -39,15 +40,30 @@ def managed_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def on_release(fn) -> None:
+    """Register a zero-arg cleanup callback to run at the next
+    ``release_managed`` sweep — for non-persist resources with the same
+    deferred lifecycle (memory-sink tables, throwaway checkpoint dirs
+    in streaming/runner.py)."""
+    _CALLBACKS.append(fn)
+
+
 def release_managed(blocking: bool = False) -> int:
     """Unpersist every tracked cache (safe on never-materialized or
-    already-unpersisted frames). Returns the number released."""
+    already-unpersisted frames) and run registered cleanup callbacks.
+    Returns the number of caches released."""
     n = 0
     while _MANAGED:
         df = _MANAGED.pop()
         try:
             df.unpersist(blocking)
             n += 1
+        except Exception:
+            pass
+    while _CALLBACKS:
+        fn = _CALLBACKS.pop()
+        try:
+            fn()
         except Exception:
             pass
     return n

@@ -40,13 +40,15 @@ def read_kafka_stream(
 
 def kafka_sink_options(
     topic: str,
-    checkpoint_location: str,
     bootstrap_servers: str = "localhost:9092",
 ) -> dict[str, str]:
     """Options for a Kafka ``writeStream`` (append mode, at-least-once
-    delivery — same contract as the reference sink)."""
+    delivery — same contract as the reference sink,
+    sparkpykafkajoin.py:212-218). Deliberately does NOT include
+    checkpointLocation: start_query owns the checkpoint (options are
+    applied after it, so a dict entry would silently override the
+    caller's explicit checkpoint_location argument)."""
     return {
         "kafka.bootstrap.servers": bootstrap_servers,
         "topic": topic,
-        "checkpointLocation": checkpoint_location,
     }

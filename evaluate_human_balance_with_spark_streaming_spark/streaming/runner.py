@@ -14,11 +14,28 @@ reference sparkpykafkajoin.py:218-221).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+
+from ..caching import on_release
+
+
+def _await_bounded(query: StreamingQuery, timeout_sec: int, what: str) -> None:
+    """Wait for an availableNow drain to finish; a timeout RAISES after
+    stopping the query — returning the partial sink contents would feed
+    silently truncated rows to the oracle/bench instead of failing
+    loudly."""
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"{what} did not drain within {timeout_sec}s; raise timeout_sec "
+            "or shrink the replay"
+        )
 
 
 def run_to_memory(
@@ -55,9 +72,16 @@ def run_to_memory(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    query.awaitTermination(timeout_sec)
-    if query.isActive:  # pragma: no cover - safety net
-        query.stop()
+    _await_bounded(query, timeout_sec, f"memory-sink replay {name}")
+    # The memory sink pins the full result in the driver until dropped;
+    # release it (and the throwaway checkpoint dir) with the same
+    # deferred lifecycle as the persist barriers: after the consuming
+    # query has been evaluated, on the next release_managed() sweep.
+    def _drop(spark=spark, name=name, checkpoint=checkpoint):
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+    on_release(_drop)
     return spark.table(name)
 
 
@@ -103,9 +127,8 @@ def run_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
-    if query.isActive:  # pragma: no cover - safety net
-        query.stop()
+    _await_bounded(query, timeout_sec, "foreachBatch drain")
+    shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def await_any(spark: SparkSession) -> None:

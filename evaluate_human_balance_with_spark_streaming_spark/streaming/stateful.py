@@ -34,12 +34,22 @@ def _update_risk_state(
         state.get if state.exists else (0, 0.0, float("inf"), float("-inf"))
     )
     for pdf in pdfs:
-        scores = pdf["score"].astype("float64")
+        # Null scores (parse_risk_events is tolerant of malformed
+        # payloads) must be IGNORED like SQL aggregates ignore them —
+        # astype turns None into NaN, and one NaN in sum() would
+        # otherwise poison total (and every later emission for this
+        # customer) permanently via state.update.
+        scores = pdf["score"].astype("float64").dropna()
         count += int(scores.size)
         total += float(scores.sum())
         if scores.size:
             mn = min(mn, float(scores.min()))
             mx = max(mx, float(scores.max()))
+    if count == 0:
+        # Every score seen so far was null: nothing to aggregate yet
+        # (the SQL twin's avg/min/max would be NULL). Emit nothing and
+        # leave state untouched rather than publishing 0.0/±inf.
+        return
     state.update((count, total, mn, mx))
     yield pd.DataFrame(
         {

@@ -63,6 +63,18 @@ def _materialize(wire_df: DataFrame, tag: str, n_files: int) -> str:
     return _WIRE_CACHE[key]
 
 
+def prematerialize_wires(spark: SparkSession, sf_dir: str) -> None:
+    """Pre-build every wire input the stream_* queries replay (the
+    stand-in for data already sitting in Kafka) so a timing harness can
+    keep input PREPARATION out of the timed replay. Shares _WIRE_CACHE
+    with the queries themselves — the single source for tags and file
+    counts, so a cache-key change here and in the queries cannot drift
+    apart (bench.py calls this instead of duplicating private keys)."""
+    _materialize(stedi_customers_wire(spark, sf_dir), f"cust@{sf_dir}", 4)
+    _materialize(stedi_customers_wire_ts(spark, sf_dir), f"cust-ts@{sf_dir}", 4)
+    _materialize(stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}", 4)
+
+
 def _materialize_wire_stream(
     spark: SparkSession, wire_df: DataFrame, tag: str, n_files: int = 4
 ) -> DataFrame:

@@ -54,7 +54,7 @@ def main() -> None:
         serialize_for_kafka(joined),
         "kafka",
         checkpoint_location="/tmp/stedi-risk-checkpoint",
-        options=kafka_sink_options("stedi-risk", "/tmp/stedi-risk-checkpoint", bootstrap),
+        options=kafka_sink_options("stedi-risk", bootstrap),
     )
     start_query(
         joined,

@@ -40,15 +40,17 @@ def _kafka_connector_on_classpath() -> bool:
     return bool(glob.glob(os.path.join(jars, "*spark-sql-kafka*")))
 
 
-def test_kafka_sink_options_match_reference_contract(tmp_path):
+def test_kafka_sink_options_match_reference_contract():
     """Sink options mirror reference sparkpykafkajoin.py:212-218:
-    bootstrap servers + topic + explicit checkpoint."""
-    opts = kafka_sink_options("stedi-score", str(tmp_path / "ckpt"), BOOTSTRAP)
+    bootstrap servers + topic. The checkpoint is start_query's job —
+    keeping it OUT of this dict means the options loop can never
+    silently override the caller's explicit checkpoint_location."""
+    opts = kafka_sink_options("stedi-score", BOOTSTRAP)
     assert opts == {
         "kafka.bootstrap.servers": BOOTSTRAP,
         "topic": "stedi-score",
-        "checkpointLocation": str(tmp_path / "ckpt"),
     }
+    assert "checkpointLocation" not in opts
 
 
 @pytest.mark.skipif(

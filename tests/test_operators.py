@@ -227,11 +227,10 @@ def test_kafka_binding_options():
         kafka_sink_options,
     )
 
-    opts = kafka_sink_options("stedi-risk", "/tmp/ckpt", "kafka:19092")
+    opts = kafka_sink_options("stedi-risk", "kafka:19092")
     assert opts == {
         "kafka.bootstrap.servers": "kafka:19092",
         "topic": "stedi-risk",
-        "checkpointLocation": "/tmp/ckpt",
     }
 
 

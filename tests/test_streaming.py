@@ -142,6 +142,33 @@ def test_stateful_risk_state_final_counts(spark):
     assert got == {("a@b.c", 2), ("x@y.z", 1)}
 
 
+def test_stateful_risk_ignores_null_scores_like_sql_aggregates(spark):
+    """A malformed payload parses to (customer, null score); the
+    stateful op must IGNORE it like F.avg does — one NaN folded into
+    the running total would poison every later emission for that
+    customer via the persisted state."""
+    stream = wire_stream(
+        spark,
+        [
+            risk_json("a@b.c", 2.0),
+            json.dumps({"customer": "a@b.c", "score": None,
+                        "riskDate": "2020-09-14T07:54:06.417Z"}),
+            risk_json("a@b.c", 4.0),
+        ],
+        3,
+    )
+    out = run_to_memory(
+        spark,
+        running_risk_state(stedi.parse_risk_events(stream)),
+        output_mode="update",
+    )
+    rows = out.orderBy(F.col("n_assessments").desc()).collect()
+    final = rows[0]
+    assert final.n_assessments == 2          # null NOT counted
+    assert final.avg_score == 3.0            # (2+4)/2, no NaN poisoning
+    assert final.min_score == 2.0 and final.max_score == 4.0
+
+
 def test_foreach_batch_collects_all_batches(spark):
     from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
         run_foreach_batch,
