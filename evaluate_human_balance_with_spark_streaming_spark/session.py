@@ -99,7 +99,7 @@ def get_spark(
                 else "HDFSBackedStateStoreProvider"
             ),
         )
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

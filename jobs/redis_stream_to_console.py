@@ -11,10 +11,11 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from evaluate_human_balance_with_spark_streaming_spark.plans.stedi import customer_pipeline
 from evaluate_human_balance_with_spark_streaming_spark.session import get_spark

@@ -11,11 +11,13 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 import traceback
 
-sys.path.insert(0, ".")
+# Import the repo package regardless of the launch cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
@@ -98,7 +100,15 @@ def normalize_cell(v) -> str:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # Rendered as NULL on BOTH sides: the driver fetches DuckDB
+            # through pandas, where a float NULL and a float NaN are the
+            # same NaN — the distinction is unknowable on the oracle
+            # side, so the Spark side must collapse it identically or a
+            # query on which both engines agree (both NaN) would FAIL
+            # while a real NULL-vs-NaN divergence PASSED. Queries are
+            # expected not to emit NaN at all; the runner prints a WARN
+            # when one does so the blindness is visible.
+            return "NULL"
         # Collapse -0.0/0.0 and render with repr for full precision;
         # float() strips numpy scalar types (numpy 2 repr differs).
         v = float(v)
@@ -153,6 +163,18 @@ def main() -> int:
             n_fail += 1
             continue
         t_spark = time.time() - t0
+        n_nan = sum(
+            1
+            for r in srows
+            for v in r
+            if isinstance(v, float) and math.isnan(v)
+        )
+        if n_nan:
+            print(
+                f"        WARN {name}: {n_nan} NaN cells in the Spark result "
+                "— NaN and NULL are indistinguishable through the driver's "
+                "pandas fetch, so the hash cannot tell them apart"
+            )
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check, {time.time()-t0:.1f}s)")
             n_rowsonly += 1
@@ -180,6 +202,7 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        t_duck = time.time() - t0 - t_spark
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
@@ -215,16 +238,17 @@ def main() -> int:
                     print(f"        spark-only: {s!r}")
                 for s in list(oset - sset)[:3]:
                     print(f"        duck-only:  {s!r}")
+        t_cmp = time.time() - t0 - t_spark - t_duck
         if problems:
             print(
                 f"FAIL  {name}: {'; '.join(problems)} "
-                f"(spark {t_spark:.1f}s, duck {time.time()-t0-t_spark:.1f}s)"
+                f"(spark {t_spark:.1f}s, duck {t_duck:.1f}s, cmp {t_cmp:.1f}s)"
             )
             n_fail += 1
         else:
             print(
                 f"PASS  {name}: {len(srows)} rows "
-                f"(spark {t_spark:.1f}s, duck {time.time()-t0-t_spark:.1f}s)"
+                f"(spark {t_spark:.1f}s, duck {t_duck:.1f}s, cmp {t_cmp:.1f}s)"
             )
             n_pass += 1
 

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import base64
+import json
 import sys
 from pathlib import Path
 
@@ -21,3 +23,39 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def envelope(
+    inner: dict | str,
+    key: str = "Customer",
+    extra_entries: int = 0,
+    ch: bool | str = False,
+    twin: bool = True,
+    entry_score: float | str = 0.0,
+) -> str:
+    """The ONE redis-envelope wire builder shared by every test module
+    (a second copy would let two fixtures silently pin inconsistent
+    wire shapes). The knobs exist because the decode chain must
+    tolerate BOTH observed encodings of the quirky fields: `ch`
+    boolean or string on the wire (schema says string -> coerced),
+    entry score float or string, the redundant `zsetEntries` twin
+    present or absent."""
+    inner_json = inner if isinstance(inner, str) else json.dumps(inner)
+    entry = {"element": b64(inner_json), "score": entry_score}
+    entries = [entry] + [
+        {"element": b64('{"customerName":"Noise"}'), "score": 1.0}
+    ] * extra_entries
+    env: dict = {
+        "key": b64(key),
+        "existType": "NONE",
+        "ch": ch,
+        "incr": False,
+        "zSetEntries": entries,
+    }
+    if twin:
+        env["zsetEntries"] = entries  # redundant twin must be tolerated
+    return json.dumps(env)

@@ -7,6 +7,9 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import HealthCheck, given
+from hypothesis import settings as hyp_settings
+from hypothesis import strategies as hyp_st
 from pyspark.sql import functions as F
 
 from evaluate_human_balance_with_spark_streaming_spark.functions.text import (
@@ -170,28 +173,41 @@ def test_csv_json_sources_roundtrip(spark, tmp_path):
     ]
 
 
-def test_encode_decode_property_many_random_customers(spark):
+@given(
+    records=hyp_st.lists(
+        hyp_st.tuples(
+            hyp_st.text(
+                alphabet=hyp_st.characters(min_codepoint=32, max_codepoint=0x2FF),
+                min_size=0,
+                max_size=40,
+            ),
+            hyp_st.from_regex(
+                r"[A-Za-z0-9._%+-]{1,20}@[A-Za-z0-9.-]{1,20}", fullmatch=True
+            ),
+            hyp_st.integers(min_value=1900, max_value=2025),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[1],
+    )
+)
+@hyp_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_encode_decode_property_many_random_customers(spark, records):
     """Property-style roundtrip: for ANY customer record whose email and
     birthDay are present, encode→decode must return (email, birthYear)
-    exactly. Values generated by hypothesis strategies, executed as one
-    DataFrame pass."""
-    from hypothesis import strategies as st
-
+    exactly. Proper @given batching (one DataFrame pass per example) —
+    seeded, shrinkable, reproducible; unique emails so the expected set
+    comparison is exact."""
     from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
 
-    printable = st.text(
-        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
-        min_size=0,
-        max_size=40,
-    )
-    email_st = st.from_regex(r"[A-Za-z0-9._%+-]{1,20}@[A-Za-z0-9.-]{1,20}", fullmatch=True)
-    year_st = st.integers(min_value=1900, max_value=2025)
-    rows = []
-    for i in range(200):
-        name = printable.example()
-        email = email_st.example()
-        year = year_st.example()
-        rows.append((name, email, "555", f"{year:04d}-06-15"))
+    rows = [
+        (name, email, "555", f"{year:04d}-06-15")
+        for name, email, year in records
+    ]
     plain = spark.createDataFrame(
         rows, "customerName string, email string, phone string, birthDay string"
     )

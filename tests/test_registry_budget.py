@@ -30,11 +30,18 @@ def test_registry_fits_driver_cap():
 def test_registry_priority_order():
     names = list(all_queries())
 
+    def _indexes(prefix: str) -> list[int]:
+        idx = [i for i, n in enumerate(names) if n.startswith(prefix)]
+        # A clear failure instead of ValueError from min()/max() if a
+        # refactor removes every query in a family.
+        assert idx, f"no registered query starts with {prefix!r}"
+        return idx
+
     def first_index(prefix: str) -> int:
-        return min(i for i, n in enumerate(names) if n.startswith(prefix))
+        return min(_indexes(prefix))
 
     def last_index(prefix: str) -> int:
-        return max(i for i, n in enumerate(names) if n.startswith(prefix))
+        return max(_indexes(prefix))
 
     # Reference parity first, streaming before every analytics query,
     # LLM-pipeline ops before analytics.

@@ -49,6 +49,10 @@ def test_bucketed_join_needs_no_exchange(spark, events, tmp_path_factory):
     b = spark.table("ev_bucketed_b")
     # Disable broadcast so the join must pick a partitioned strategy —
     # the point is that bucketing satisfies its distribution for free.
+    # Save/restore the previous value (not a hard-coded copy of the
+    # session default) so the session conf survives unchanged for
+    # whatever runs after this test.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = a.join(b, "user_id")
@@ -56,9 +60,7 @@ def test_bucketed_join_needs_no_exchange(spark, events, tmp_path_factory):
         assert "Exchange" not in plan, plan
         assert joined.count() > 0
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
 

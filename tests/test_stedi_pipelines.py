@@ -12,26 +12,7 @@ from pyspark.sql import functions as F
 from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
 
 
-def b64(s: str) -> str:
-    return base64.b64encode(s.encode()).decode()
-
-
-def envelope(inner: dict | str, key: str = "Customer", extra_entries: int = 0) -> str:
-    inner_json = inner if isinstance(inner, str) else json.dumps(inner)
-    entry = {"element": b64(inner_json), "score": 0.0}
-    entries = [entry] + [
-        {"element": b64('{"customerName":"Noise"}'), "score": 1.0}
-    ] * extra_entries
-    return json.dumps(
-        {
-            "key": b64(key),
-            "existType": "NONE",
-            "ch": False,  # boolean on the wire, schema says string → coerced
-            "incr": False,
-            "zSetEntries": entries,
-            "zsetEntries": entries,  # redundant twin must be tolerated
-        }
-    )
+from conftest import b64, envelope  # the shared wire builder
 
 
 def wire_df(spark, values: list[str]):

@@ -50,19 +50,16 @@ def test_risk_parse_runs_as_stream(spark):
 
 
 def test_stream_stream_join_accumulates_state_across_batches(spark):
-    import base64
+    from conftest import envelope as shared_envelope
 
+    # The OTHER observed wire variant: ch/score as strings, no
+    # redundant twin — the decode chain must tolerate both shapes.
     def envelope(email: str, birth: str) -> str:
-        inner = json.dumps({"customerName": "n", "email": email, "birthDay": birth})
-        entry = {"element": base64.b64encode(inner.encode()).decode(), "score": "0.0"}
-        return json.dumps(
-            {
-                "key": base64.b64encode(b"Customer").decode(),
-                "existType": "NONE",
-                "ch": "false",
-                "incr": False,
-                "zSetEntries": [entry],
-            }
+        return shared_envelope(
+            {"customerName": "n", "email": email, "birthDay": birth},
+            ch="false",
+            twin=False,
+            entry_score="0.0",
         )
 
     # Customer arrives in one micro-batch, risk events spread over
