@@ -32,4 +32,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: an all-zero vector has norm 0.0, and under Spark 4's
+    # default ANSI mode a plain `/` THROWS DIVIDE_BY_ZERO and kills the
+    # job — one bad vector must yield null, not a crashed pipeline
+    # (same hardening discipline as try_to_binary in the decode chain).
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))

@@ -77,8 +77,12 @@ def brute_force_topk(
         .withColumn(
             "cosine",
             F.round(
-                dot_product(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn")),
+                # try_divide: a zero-norm (all-zero) vector must score
+                # null, not throw ANSI DIVIDE_BY_ZERO (see vectors.py).
+                F.try_divide(
+                    dot_product(F.col("qv"), F.col("cv")),
+                    F.col("qn") * F.col("cn"),
+                ),
                 6,
             ),
         )
@@ -176,8 +180,12 @@ def ivf_topk(
         .withColumn(
             "cosine",
             F.round(
-                dot_product(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * F.col("cn")),
+                # try_divide: a zero-norm (all-zero) vector must score
+                # null, not throw ANSI DIVIDE_BY_ZERO (see vectors.py).
+                F.try_divide(
+                    dot_product(F.col("qv"), F.col("cv")),
+                    F.col("qn") * F.col("cn"),
+                ),
                 6,
             ),
         )

@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 from ..schemas import CUSTOMER_SCHEMA, REDIS_SCHEMA, STEDI_SCHEMA, STEDI_SCHEMA_TS
 
 
-def decode_customers(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def decode_customers(
+    raw: DataFrame, value_col: str = "value", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Decode the doubly-encoded Redis change feed into customer rows.
 
     Input: one column (default ``value``, binary or string) holding the
@@ -44,28 +46,34 @@ def decode_customers(raw: DataFrame, value_col: str = "value") -> DataFrame:
     or JSON yields nulls (from_json PERMISSIVE mode), never a crash; the
     downstream not-null filter drops them.
     """
+    carry = [F.col(c) for c in passthrough]
     envelope = raw.select(
-        F.from_json(F.col(value_col).cast("string"), REDIS_SCHEMA).alias("env")
-    ).select("env.*")
+        *carry,
+        F.from_json(F.col(value_col).cast("string"), REDIS_SCHEMA).alias("env"),
+    ).select(*passthrough, "env.*")
     # F.get (not getItem): under ANSI mode (Spark 4 default) [0] on an
     # empty zSetEntries array would throw and kill the stream; get()
     # yields null, which the downstream not-null filter drops — the
     # reference's non-ANSI Spark 3.1 tolerance, preserved explicitly.
     encoded = envelope.select(
-        F.get(F.col("zSetEntries"), 0).getField("element").alias("encodedCustomer")
+        *carry,
+        F.get(F.col("zSetEntries"), 0).getField("element").alias("encodedCustomer"),
     )
     # try_to_binary: malformed base64 → null instead of an ANSI error.
     decoded = encoded.select(
+        *carry,
         F.try_to_binary(F.col("encodedCustomer"), F.lit("base64"))
         .cast("string")
-        .alias("customerJson")
+        .alias("customerJson"),
     )
     return decoded.select(
-        F.from_json(F.col("customerJson"), CUSTOMER_SCHEMA).alias("customer")
-    ).select("customer.*")
+        *carry, F.from_json(F.col("customerJson"), CUSTOMER_SCHEMA).alias("customer")
+    ).select(*passthrough, "customer.*")
 
 
-def select_email_birth_year(customers: DataFrame) -> DataFrame:
+def select_email_birth_year(
+    customers: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Not-null filter + birth-year derivation + projection.
 
     Missing JSON fields parse to null (reference comment
@@ -78,7 +86,7 @@ def select_email_birth_year(customers: DataFrame) -> DataFrame:
     return (
         customers.filter(F.col("email").isNotNull() & F.col("birthDay").isNotNull())
         .withColumn("birthYear", F.split(F.col("birthDay"), "-").getItem(0))
-        .select("email", "birthYear")
+        .select("email", "birthYear", *extra_cols)
     )
 
 
@@ -130,24 +138,10 @@ def decode_customers_with_time(
     """The customer decode chain with an event-time column carried
     through every step (the Kafka-record-timestamp pattern: the wire
     carries (value, ts); ts survives the decode untouched so watermarks
-    can bound state downstream)."""
-    envelope = raw.select(
-        F.col(ts_col),
-        F.from_json(F.col(value_col).cast("string"), REDIS_SCHEMA).alias("env"),
-    )
-    encoded = envelope.select(
-        F.col(ts_col),
-        F.get(F.col("env.zSetEntries"), 0).getField("element").alias("encodedCustomer"),
-    )
-    decoded = encoded.select(
-        F.col(ts_col),
-        F.try_to_binary(F.col("encodedCustomer"), F.lit("base64"))
-        .cast("string")
-        .alias("customerJson"),
-    )
-    return decoded.select(
-        F.col(ts_col), F.from_json(F.col("customerJson"), CUSTOMER_SCHEMA).alias("customer")
-    ).select(ts_col, "customer.*")
+    can bound state downstream). ONE decode chain, parameterized — a
+    second copy would have to receive every ANSI-tolerance fix (F.get,
+    try_to_binary) in lockstep or silently diverge."""
+    return decode_customers(raw, value_col, passthrough=(ts_col,))
 
 
 def flagship_pipeline_watermarked(
@@ -171,11 +165,8 @@ def flagship_pipeline_watermarked(
     every in-band match deterministically; production tightens it to
     the real late-data tolerance.
     """
-    cust = decode_customers_with_time(redis_raw, ts_col=ts_col)
-    cust = (
-        cust.filter(F.col("email").isNotNull() & F.col("birthDay").isNotNull())
-        .withColumn("birthYear", F.split(F.col("birthDay"), "-").getItem(0))
-        .select("email", "birthYear", ts_col)
+    cust = select_email_birth_year(
+        decode_customers_with_time(redis_raw, ts_col=ts_col), extra_cols=(ts_col,)
     )
     risk = parse_risk_events(events_raw, keep_timestamp=True)
     if cust.isStreaming:
@@ -240,14 +231,20 @@ def encode_customer_envelope(
             F.col(birth_day_col).alias("birthDay"),
         )
     )
+    # ch and score are TYPED on the wire (JSON boolean false / number
+    # 0.0) exactly as the reference's README documents, while the
+    # decode schema declares both as string — so every synthesized
+    # fixture actually EXERCISES the boolean→"false" / number→"0.0"
+    # from_json coercion quirk the schemas module pins, instead of
+    # bypassing it with pre-stringified values.
     entry = F.struct(
         F.base64(inner.cast("binary")).alias("element"),
-        F.lit("0.0").alias("score"),
+        F.lit(0.0).alias("score"),
     )
     envelope = F.struct(
         F.base64(F.lit("Customer").cast("binary")).alias("key"),
         F.lit("NONE").alias("existType"),
-        F.lit("false").alias("ch"),
+        F.lit(False).alias("ch"),
         F.lit(False).alias("incr"),
         F.array(entry).alias("zSetEntries"),
         F.array(entry).alias("zsetEntries"),  # redundant twin, README.md:69-72

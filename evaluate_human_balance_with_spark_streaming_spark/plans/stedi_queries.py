@@ -105,10 +105,12 @@ def stedi_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing JSON fields parse to null and are dropped. Every 10th
     customer's email field is omitted from the inner document
     (to_json drops null fields), so the decode output must exclude it."""
-    plain = stedi_customers_plain(spark, sf_dir)
-    # Null out the email for customers whose key is divisible by 10.
-    c_key = F.regexp_extract(F.col("customerName"), r"(\d+)$", 1).cast("bigint")
-    plain = plain.withColumn("email", F.when(c_key % 10 != 0, F.col("email")))
+    plain = stedi_customers_plain(spark, sf_dir, keep_key=True)
+    # Null out the email for customers whose key is divisible by 10;
+    # the key comes from the source (keep_key), not a per-row regexp.
+    plain = plain.withColumn(
+        "email", F.when(F.col("_custkey") % 10 != 0, F.col("email"))
+    ).drop("_custkey")
     return stedi.customer_pipeline(stedi.encode_customer_envelope(plain))
 
 
@@ -214,12 +216,24 @@ def stedi_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     ).createOrReplaceTempView("CustomerRisk")
-    return spark.sql(
+    out = spark.sql(
         """
         SELECT customer, score, email, birthYear
         FROM CustomerRisk JOIN EmailAndBirthYear ON customer = email
         """
     )
+    # spark.sql analyzes eagerly, so the returned plan no longer needs
+    # the views — drop them before returning. Leaving seven
+    # generically-named views (CustomerRisk, ...) in the SHARED session
+    # catalog would let any later query that uses one of these common
+    # names silently read a stale plan bound to this invocation's
+    # sf_dir instead of failing.
+    for v in (
+        "RedisWire", "EventsWire", "RedisSortedSet", "EncodedCustomer",
+        "CustomerRecords", "EmailAndBirthYear", "CustomerRisk",
+    ):
+        spark.catalog.dropTempView(v)
+    return out
 
 
 @register(
@@ -244,12 +258,9 @@ def stedi_corruption_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recovering the key from the encoded wire itself would cost an
     # extra unbase64 + get_json_object + regexp pass per row before the
     # decode chain even starts (measured ~2× this query at sf0.1).
-    plain = stedi_customers_plain(spark, sf_dir)
-    custkey_num = F.regexp_extract(
-        F.col("customerName"), r"(\d+)$", 1
-    ).cast("bigint")
+    plain = stedi_customers_plain(spark, sf_dir, keep_key=True)
     wire = stedi.encode_customer_envelope(
-        plain.withColumn("_ck", custkey_num), keep_cols=("_ck",)
+        plain.withColumnRenamed("_custkey", "_ck"), keep_cols=("_ck",)
     )
     corrupted_wire = wire.select(
         F.when(

@@ -63,15 +63,24 @@ def _email_from_custkey(key_col):
 
 
 def stedi_customers_plain(
-    spark: SparkSession, sf_dir: str, with_ts: bool = False
+    spark: SparkSession, sf_dir: str, with_ts: bool = False,
+    keep_key: bool = False,
 ) -> DataFrame:
     """Customer table → plain STEDI customer records (pre-encoding).
+
+    ``keep_key`` appends ``_custkey`` (the raw c_custkey) for callers
+    that gate rows on the key (null-filter / corruption fixtures) —
+    single-sourced here so no caller re-derives it with a per-row
+    regexp over customerName.
 
     ``with_ts`` appends the ``cust_ts`` event-time column used by the
     watermarked flagship variant (the Kafka-record-timestamp shape):
     customers spread deterministically across the events table's
     January-2024 span — epoch 1704067200 (2024-01-01 UTC) +
-    (custkey % 30) days + custkey seconds. Single source for the
+    (custkey % 30) days + (custkey % 86400) seconds. (The % 86400
+    matters: at sf <= 0.1 custkey < 86400 so a bare `+ custkey` oracle
+    would PASS the gate and then silently diverge at sf1+.) Single
+    source for the
     email/phone/birthDay formulas that the oracle SQL fragments
     (plans/stedi_queries.py) replay."""
     # NB: measured — spreading this scan (ensure_min_partitions) before
@@ -101,6 +110,8 @@ def stedi_customers_plain(
                 F.lit(1704067200).cast("long") + (k % 30) * 86400 + (k % 86400)
             ).alias("cust_ts")
         )
+    if keep_key:
+        cols.append(k.alias("_custkey"))
     return c.select(*cols)
 
 
