@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..caching import managed_persist
 from ..functions.hashing import band_key, hex_digit_value, md5_seeded_int
-from ..functions.text import fingerprint_md5, normalize_text, tokens, word_shingles
+from ..functions.text import fingerprint_md5, tokens, word_shingles
 from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table

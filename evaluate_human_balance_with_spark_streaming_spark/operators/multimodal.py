@@ -195,8 +195,8 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_frames itself — only the oracle twin needs the restriction.
     FIXTURE BOUND: the oracle enumerates frame indexes from
     range(0, 1000), i.e. it certifies docs up to 1000*256 = 256,000
-    bytes; the Spark side is unbounded. Like EMBEDDING_DIM in
-    similarity.py this is a pinned property of the driver fixtures
+    bytes; the Spark side is unbounded. Like the ivf oracle's
+    range(1, 65) width pin this is a property of the driver fixtures
     (max document length ~2 KB) — raise the range if fixtures grow."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").rlike("^[\\x00-\\x7F]+$")

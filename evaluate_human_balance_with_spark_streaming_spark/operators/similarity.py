@@ -30,12 +30,6 @@ from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table
 
-# Vector width of the embeddings fixture (TESTDATA.md). Only the ivf
-# ORACLE (a static SQL string, range(1, EMBEDDING_DIM+1)) depends on
-# this; the Spark centroid build is width-agnostic (posexplode).
-EMBEDDING_DIM = 64
-
-
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,7 +276,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed top-5: per-label centroids as the coarse quantizer,
     n_probe=1 — the bounded-candidate scale path for ANN. The Spark
     side infers nothing about vector width (posexplode centroids);
-    only the static oracle SQL pins EMBEDDING_DIM via range(1, 65)."""
+    only the static oracle SQL pins the fixture's 64-dim width via its
+    hardcoded range(1, 65) — a fixture-width change edits the oracle
+    string, nothing else."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     return ivf_topk(emb, queries, "embedding", "vec_id", "label", k=5)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_md5, normalize_text, tokens
+from ..functions.text import fingerprint_md5, tokens
 from ..plans.registry import register
 from ..sources.testdata import load_table
 

@@ -248,27 +248,17 @@ def q_risk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The intent of the reference's empty risk-quality stub
     (sparkpyoptionalriskquality.py:1-3): tumbling event-time windows ×
-    event type. Uses Spark's window() — identical code runs streaming
-    with a watermark (streaming/aggregates.py)."""
+    event type. Calls streaming/aggregates.py::windowed_quality — the
+    IDENTICAL code that runs streaming with a watermark — plus an
+    exact countDistinct via its extra_aggs hook."""
+    from ..streaming.aggregates import windowed_quality
+
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_value"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd").alias("window_day"),
-            "event_type",
-            "n_events",
-            "avg_value",
-            "n_users",
-        )
+    # THE streaming operator, not a re-implementation (extra_aggs adds
+    # the exact distinct count that only batch can afford) — so this
+    # oracle certifies the code the stream runs.
+    return windowed_quality(
+        e, extra_aggs=(F.countDistinct("user_id").alias("n_users"),)
     )
 
 

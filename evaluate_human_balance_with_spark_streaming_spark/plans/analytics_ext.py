@@ -360,7 +360,7 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL
                              OR epoch(ts) - epoch(prev_ts) >= 3600
                         THEN 1 ELSE 0 END AS new_session
@@ -368,8 +368,12 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         numbered AS (
             SELECT user_id, ts,
+                   -- event_id tiebreak matches the LAG ordering above:
+                   -- without it, tied timestamps at a session boundary
+                   -- could be summed in either order, splitting a
+                   -- session nondeterministically.
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
@@ -475,7 +479,11 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse-join formulation (vs materializing dense vectors) is how
     distributed time-series similarity scales: the shuffle is on the
     time key, pair cost is bounded by co-active days, not |users|².
-    Top-5 most-similar per user, tiebroken by id.
+    Output is over CANONICAL pairs (user_a < user_b): top-5 per user_a
+    among its HIGHER-id neighbors, tiebroken by id — a pair-dedup'd
+    similarity table (each pair scored once), not a full per-user
+    neighbor list. A serving-shape top-k per user would union both
+    pair orientations first; ann_bruteforce_topk is that shape.
 
     Scale caveat, stated honestly: the day key is low-cardinality
     (~30 here), so parallelism within the pair join caps at the number

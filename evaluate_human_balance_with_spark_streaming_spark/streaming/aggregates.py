@@ -20,37 +20,38 @@ def windowed_quality(
     ts_col: str = "ts",
     window_size: str = "1 day",
     watermark: str | None = "10 minutes",
+    extra_aggs: tuple = (),
 ) -> DataFrame:
     """Tumbling-window event-quality aggregate keyed by event type.
 
     Streaming state is bounded: windows older than (max event time −
-    watermark) finalize and evict. Deliberately NO distinct-count here:
-    exact distinct needs unbounded per-window sets in streaming state
-    (use approx_count_distinct/HLL at 100 TB if needed) — the batch
-    variant in plans/analytics.py::q_windowed_quality adds the exact
-    countDistinct the oracle can check.
+    watermark) finalize and evict. Deliberately NO distinct-count in
+    the default aggregates: exact distinct needs unbounded per-window
+    sets in streaming state (use approx_count_distinct/HLL at 100 TB
+    if needed). ``extra_aggs`` (aliased Columns) lets the batch twin
+    (plans/analytics.py::q_windowed_quality) ADD the exact
+    countDistinct while running THIS code — one definition in front
+    of both oracles instead of a re-implementation that could drift.
     """
     src = events
     if watermark and events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
-    return (
-        src.groupBy(F.window(ts_col, window_size).alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            # Exact decimal sum → one double division: order-independent
-            # (incremental state merge order varies batch to batch).
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd").alias("window_day"),
-            "event_type",
-            "n_events",
-            "avg_value",
-        )
+    out = src.groupBy(
+        F.window(ts_col, window_size).alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # Exact decimal sum → one double division: order-independent
+        # (incremental state merge order varies batch to batch).
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+        *extra_aggs,
+    )
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd").alias("window_day"),
+        *[c for c in out.columns if c != "w"],
     )
 
 
@@ -67,7 +68,18 @@ def risk_score_per_customer(
         risk.groupBy(customer_col)
         .agg(
             F.count(F.lit(1)).alias("n_assessments"),
-            F.round(F.avg(score_col), 6).alias("avg_score"),
+            # Exact decimal sum → one double division (same
+            # order-independence discipline as windowed_quality above):
+            # F.avg over doubles accumulates in state-merge order, which
+            # varies batch to batch on a stream, so identical input
+            # could emit avg values differing in the last bits.
+            # Divide by the NON-NULL count — avg semantics, null scores
+            # ignored (decimal sum skips them too).
+            F.round(
+                F.sum(F.col(score_col).cast("decimal(28,6)")).cast("double")
+                / F.count(F.col(score_col)),
+                6,
+            ).alias("avg_score"),
             F.round(F.min(score_col), 6).alias("min_score"),
             F.round(F.max(score_col), 6).alias("max_score"),
         )

@@ -70,9 +70,15 @@ def prematerialize_wires(spark: SparkSession, sf_dir: str) -> None:
     with the queries themselves — the single source for tags and file
     counts, so a cache-key change here and in the queries cannot drift
     apart (bench.py calls this instead of duplicating private keys)."""
+    from ..sources.testdata import load_table
+
     _materialize(stedi_customers_wire(spark, sf_dir), f"cust@{sf_dir}", 4)
     _materialize(stedi_customers_wire_ts(spark, sf_dir), f"cust-ts@{sf_dir}", 4)
     _materialize(stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}", 4)
+    events = load_table(spark, sf_dir, "events")
+    _materialize(events.select("ts", "event_type", "value"), f"win@{sf_dir}", 4)
+    slim = events.select("event_id", "user_id", "event_type")
+    _materialize(slim.union(slim), f"dup@{sf_dir}", 6)
 
 
 def _materialize_wire_stream(
