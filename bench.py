@@ -23,9 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from evaluate_human_balance_with_spark_streaming_spark.session import get_spark
 
 # Headline set: one per capability family (parity decode/join, agg,
-# multi-join, window fn, sessionization, dedup exact + LSH, similarity
-# brute + IVF, text, multimodal, streaming join). Names must exist in
-# the registry.
+# multi-join, window fn, sessionization, dedup exact + LSH + iterative
+# CC clusters, similarity brute + IVF both probes, text, multimodal,
+# streaming join + bounded dedup). Names must exist in the registry.
 HEADLINE = [
     "stedi_decode_chain",
     "stedi_flagship_join",
@@ -40,43 +40,74 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_lsh_clusters",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_ivf_probe2",
     "text_stats_battery",
     "mm_frame_sample",
     "mm_pandas_features",
     "stream_flagship_join",
     "stream_flagship_join_watermarked",
+    "stream_dedup_within_watermark",
 ]
 
 # Per-query regression gate: compare against the newest recorded
 # BENCH_r{N}.json (the standing baseline per VERDICT r01 §Perf) and
-# flag >2x per-query slowdowns — the suite is fixed-cost dominated, so
-# a single regressed query can hide inside a healthy total.
+# fail on >2x per-query slowdowns — the suite is fixed-cost dominated,
+# so a single regressed query can hide inside a healthy total. Strict
+# by default (exit 1); set SPARK_GRAFT_BENCH_LENIENT=1 for exploratory
+# runs where a known-slow work-in-progress query shouldn't abort.
 REGRESSION_FACTOR = 2.0
 
 
-def _baseline_timings() -> dict[str, float]:
+def _baseline_timings(here: str | None = None) -> dict[str, float]:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     numbered = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             numbered.append((int(m.group(1)), p))
-    if not numbered:
-        return {}
+    # Queries added to HEADLINE after the newest driver recording have
+    # no BENCH_r entry yet; BENCH_BASELINE_EXTRA.json carries their
+    # hand-measured numbers (same best-of-N protocol, recorded at add
+    # time) so the gate binds immediately instead of printing UNGATED
+    # for a round. Driver recordings take precedence once they exist.
+    timings: dict[str, float] = {}
     try:
-        with open(max(numbered)[1]) as f:
-            d = json.load(f)
-        # The driver wraps this script's JSON line under "parsed"
-        # ({n, rc, cpus, sf, tail, parsed: {queries: ...}}); accept a
-        # bare recording of the line itself too.
-        return (d.get("parsed") or d).get("queries") or {}
+        with open(os.path.join(here, "BENCH_BASELINE_EXTRA.json")) as f:
+            timings.update(json.load(f).get("queries") or {})
     except Exception:
-        return {}
+        pass
+    if numbered:
+        try:
+            with open(max(numbered)[1]) as f:
+                d = json.load(f)
+            # The driver wraps this script's JSON line under "parsed"
+            # ({n, rc, cpus, sf, tail, parsed: {queries: ...}}); accept
+            # a bare recording of the line itself too.
+            timings.update((d.get("parsed") or d).get("queries") or {})
+        except Exception:
+            pass
+    return timings
+
+
+def find_regressions(
+    timings: dict[str, float], baseline: dict[str, float]
+) -> dict[str, dict[str, float]]:
+    """Per-query >REGRESSION_FACTOR slowdowns vs the baseline (unit-
+    tested; bench exits non-zero on any unless LENIENT is set)."""
+    return {
+        name: {"now": dt, "baseline": baseline[name]}
+        for name, dt in timings.items()
+        if name in baseline
+        and baseline[name] > 0
+        and dt > REGRESSION_FACTOR * baseline[name]
+    }
 
 
 def _streaming_warmup(spark, sf_dir: str) -> None:
@@ -220,14 +251,23 @@ def main() -> int:
     timed_wall = round(time.time() - timed_t0, 3)
     release_managed()
 
+    return report_and_gate(timings, round(total, 3), timed_wall, sf, reps)
+
+
+def report_and_gate(
+    timings: dict[str, float],
+    total: float,
+    timed_wall: float,
+    sf: float,
+    reps: int,
+) -> int:
+    """Print the driver JSON line and return the exit code: non-zero on
+    any >REGRESSION_FACTOR per-query regression unless
+    SPARK_GRAFT_BENCH_LENIENT is set (strict by DEFAULT — a regression
+    must not slide through a default run). Split from main() so the
+    gate is unit-testable without a Spark session."""
     baseline = _baseline_timings()
-    regressions = {
-        name: {"now": dt, "baseline": baseline[name]}
-        for name, dt in timings.items()
-        if name in baseline
-        and baseline[name] > 0
-        and dt > REGRESSION_FACTOR * baseline[name]
-    }
+    regressions = find_regressions(timings, baseline)
     for name in timings:
         if name not in baseline:
             # New/renamed queries have no baseline entry — say so
@@ -243,11 +283,16 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall",
-                # Sum of per-query best-of-N minima — the noise-free
-                # per-query cost signal. True single-pass wall clock for
-                # all reps of all queries is reported as wall_s.
-                "value": round(total, 3),
+                # Named for what it measures (ADVICE r02): the sum of
+                # per-query best-of-N minima — the noise-free per-query
+                # cost signal. True single-pass wall clock for all reps
+                # of all queries is reported as wall_s. (r01's
+                # "headline_suite_wall" 34.5s was single-shot wall;
+                # r02+ numbers are best-of-N sums — protocol recorded
+                # in the timing field so history compares like with
+                # like.)
+                "metric": "headline_suite_best_sum",
+                "value": total,
                 "unit": "sec",
                 "timing": f"per-query best of {reps}",
                 "wall_s": timed_wall,
@@ -257,7 +302,7 @@ def main() -> int:
             }
         )
     )
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+    if regressions and not os.environ.get("SPARK_GRAFT_BENCH_LENIENT"):
         return 1
     return 0
 

@@ -34,15 +34,73 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_payload(payload: bytes, modality: str) -> bytes:
-    """STUB: decode a media payload to a canonical representation.
+def decode_ppm(payload: bytes) -> bytes:
+    """Dependency-free binary-PPM (P6) decode: header ``P6 <w> <h>
+    <maxval>`` (whitespace-separated, ``#`` comments allowed) followed
+    by exactly one whitespace byte and ``w*h*3`` raw RGB bytes. Returns
+    the pixel plane — the canonical decoded representation the feature
+    extractors consume. Malformed input raises ValueError (a decode
+    error, distinct from the NotImplementedError unsupported-codec
+    seam)."""
+    pos = 0
+    n = len(payload)
 
-    Real image/audio/video decoding requires codec libraries not
-    available in this environment; 'raw' passes through so the full
-    pipeline is testable end-to-end.
+    def token() -> bytes:
+        nonlocal pos
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        while pos < n and payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("ppm: truncated header")
+        return payload[start:pos]
+
+    if token() != b"P6":
+        raise ValueError("ppm: not a P6 binary PPM")
+    try:
+        width, height, maxval = int(token()), int(token()), int(token())
+    except ValueError as e:
+        raise ValueError(f"ppm: bad header int: {e}") from None
+    if maxval != 255:
+        raise ValueError(f"ppm: only maxval 255 supported, got {maxval}")
+    pos += 1  # exactly one whitespace byte separates header and pixels
+    pixels = payload[pos:]
+    if width < 0 or height < 0 or len(pixels) != width * height * 3:
+        raise ValueError(
+            f"ppm: expected {width}x{height}x3={width * height * 3} pixel "
+            f"bytes, got {len(pixels)}"
+        )
+    return pixels
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Inverse of decode_ppm (test fixture builder): wrap raw RGB bytes
+    in a P6 header."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("encode_ppm: pixel count mismatch")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_payload(payload: bytes, modality: str) -> bytes:
+    """Decode a media payload to its canonical representation.
+
+    'raw' passes through; 'image/ppm' runs the real dependency-free P6
+    parse (header strip + pixel-plane validation) so the decode seam
+    has a genuine non-identity traversal. Every other modality (JPEG,
+    PCM, video) requires codec libraries not available in this
+    environment and stays behind the documented NotImplementedError
+    seam.
     """
     if modality == "raw":
         return payload
+    if modality == "image/ppm":
+        return decode_ppm(payload)
     raise NotImplementedError(
         f"decode for modality {modality!r} requires codec libraries "
         "(PIL/ffmpeg/torchaudio); wire them in here on a real cluster"

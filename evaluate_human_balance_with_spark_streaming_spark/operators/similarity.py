@@ -225,9 +225,10 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
 
 
-@register(
-    "ann_ivf_topk",
-    oracle="""
+# One oracle template for every registered IVF variant — n_probe is
+# the only thing that differs, so the recall dial is certified against
+# the SAME relational derivation with only `crank <= n` changing.
+_IVF_ORACLE = """
         WITH c AS (
             SELECT vec_id AS neighbor_id, label AS cell, embedding::DOUBLE[] AS cv
             FROM embeddings
@@ -254,7 +255,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ORDER BY list_cosine_similarity(q.qv, ct.centroid) DESC,
                                     ct.cell ASC) AS crank
                 FROM q, centroids ct
-            ) WHERE crank = 1
+            ) WHERE crank <= {n_probe}
         ),
         scored AS (
             SELECT a.query_id, c.cell, c.neighbor_id,
@@ -269,7 +270,12 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
             FROM scored
         ) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE.format(n_probe=1),
     tags=("similarity", "ann", "ivf"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,3 +288,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     return ivf_topk(emb, queries, "embedding", "vec_id", "label", k=5)
+
+
+@register(
+    "ann_ivf_probe2",
+    oracle=_IVF_ORACLE.format(n_probe=2),
+    tags=("similarity", "ann", "ivf", "recall-dial"),
+)
+def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall dial under the driver's oracle: n_probe=2 searches
+    each query's TWO nearest cells — candidates double (still bounded,
+    never all-pairs) and recall rises toward brute force (exhaustive
+    probe ≡ brute force is pinned by a unit test). Certifying a second
+    point on the recall/cost curve is what makes IVF an ANN *index*
+    rather than a partitioner; the oracle differs from ann_ivf_topk's
+    only in `crank <= 2`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return ivf_topk(emb, queries, "embedding", "vec_id", "label", k=5, n_probe=2)

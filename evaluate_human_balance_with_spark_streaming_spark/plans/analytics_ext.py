@@ -21,46 +21,96 @@ from .registry import register
 
 
 @register(
-    "q_set_ops_battery",
+    "q_set_semantics_battery",
     oracle="""
-        SELECT 'union' AS op, user_id FROM (
+        SELECT 'union' AS op, CAST(user_id AS VARCHAR) AS key, 1 AS n FROM (
             SELECT user_id FROM events WHERE event_type = 'click'
             UNION
             SELECT user_id FROM events WHERE event_type = 'purchase'
         )
         UNION ALL
-        SELECT 'intersect' AS op, user_id FROM (
+        SELECT 'intersect' AS op, CAST(user_id AS VARCHAR) AS key, 1 AS n FROM (
             SELECT user_id FROM events WHERE event_type = 'click'
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'purchase'
         )
         UNION ALL
-        SELECT 'except' AS op, user_id FROM (
+        SELECT 'except' AS op, CAST(user_id AS VARCHAR) AS key, 1 AS n FROM (
             SELECT user_id FROM events WHERE event_type = 'click'
             EXCEPT
             SELECT user_id FROM events WHERE event_type = 'purchase'
         )
+        UNION ALL
+        SELECT 'semi_discounted' AS op, o_orderpriority AS key, COUNT(*) AS n
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+        )
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'anti_returned' AS op, o_orderpriority AS key, COUNT(*) AS n
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
     """,
-    tags=("set-op", "battery"),
+    tags=("set-op", "semi-join", "anti-join", "agg", "battery"),
 )
-def q_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three ANSI set operations over the same two filtered scans,
-    tagged by op: UNION DISTINCT (engaged users), INTERSECT DISTINCT
+def q_set_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set + existential semantics in one tagged battery (merged from
+    round 2's q_set_ops_battery and q_exists_battery to stay under the
+    driver's 50-row cap; both component plans intact).
+
+    Set-op rows — all three ANSI set operations over the same two
+    filtered scans: UNION DISTINCT (engaged users), INTERSECT DISTINCT
     (users in both populations), EXCEPT DISTINCT (clickers who never
-    buy). Each op is one hash shuffle on the full row; Catalyst plans
+    buy). One row per surviving user (key = user_id, n = 1 row weight);
+    each op is one hash shuffle on the full row; Catalyst plans
     INTERSECT/EXCEPT as left-semi/left-anti aggregates — no row
-    multiplication anywhere."""
+    multiplication anywhere.
+
+    Existential rows — EXISTS as a LEFT SEMI join (orders with a
+    discounted line) and NOT EXISTS as a LEFT ANTI join (orders with no
+    returned line), aggregated per priority (key = o_orderpriority,
+    n = order count). Each shuffles once on the order key and never
+    multiplies rows; the lineitem filters are pushed to its scan."""
     e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("user_id")
     buys = e.filter(F.col("event_type") == "purchase").select("user_id")
 
     def tag(df: DataFrame, op: str) -> DataFrame:
-        return df.select(F.lit(op).alias("op"), "user_id")
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("user_id").cast("string").alias("key"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    discounted = l.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+
+    def exists_agg(keys: DataFrame, how: str, op: str) -> DataFrame:
+        return (
+            o.join(keys, o["o_orderkey"] == keys["l_orderkey"], how)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(op).alias("op"),
+                F.col("o_orderpriority").alias("key"),
+                "n",
+            )
+        )
 
     return (
         tag(clicks.union(buys).distinct(), "union")
         .unionAll(tag(clicks.intersect(buys), "intersect"))
         .unionAll(tag(clicks.subtract(buys), "except"))
+        .unionAll(exists_agg(discounted, "left_semi", "semi_discounted"))
+        .unionAll(exists_agg(returned, "left_anti", "anti_returned"))
     )
 
 
@@ -239,58 +289,54 @@ def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_exact_percentiles",
+    "q_event_value_profile",
     oracle="""
         SELECT event_type,
                ROUND(quantile_cont(value, 0.5), 6) AS p50,
                ROUND(quantile_cont(value, 0.9), 6) AS p90,
-               ROUND(quantile_cont(value, 0.99), 6) AS p99
-        FROM events
-        GROUP BY event_type
-    """,
-    tags=("agg", "percentile"),
-)
-def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles per group (Spark
-    percentile ≡ DuckDB quantile_cont). The streaming/100 TB variant
-    would use approx_percentile (t-digest) — approximate sketches
-    can't be oracle-matched across engines, so the exact form is the
-    correctness anchor."""
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
-    )
-
-
-@register(
-    "q_salted_hot_key_agg",
-    oracle="""
-        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99,
+               COUNT(*) AS n_events,
                ROUND(SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE, 4) AS total_value
         FROM events
         GROUP BY event_type
     """,
-    tags=("agg", "skew"),
+    tags=("agg", "percentile", "skew", "battery"),
 )
-def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted aggregation over a low-cardinality hot key
-    (event_type has ~5 values — at 100 TB each key is a hot partition).
-    Phase 1 groups by (key, salt) spreading each key over 16 reducers;
-    phase 2 merges the 16 partials per key. Result is identical to the
-    direct group-by (the oracle) — the plan shape is the point.
-    Decimal partial sums keep the merge order-independent."""
+def q_event_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value profile (merged from round 2's
+    q_exact_percentiles and q_salted_hot_key_agg to stay under the
+    driver's 50-row cap; BOTH component plans survive intact and join
+    on the 5-key group).
+
+    Percentile side: exact linear-interpolation percentiles per group
+    (Spark percentile ≡ DuckDB quantile_cont). The streaming/100 TB
+    variant would use approx_percentile (t-digest) — approximate
+    sketches can't be oracle-matched across engines, so the exact form
+    is the correctness anchor.
+
+    Salted side: two-phase salted aggregation over a low-cardinality
+    hot key (event_type has ~5 values — at 100 TB each key is a hot
+    partition). Phase 1 groups by (key, salt) spreading each key over
+    16 reducers; phase 2 merges the 16 partials per key — identical to
+    the direct group-by (the oracle); the plan shape is the point.
+    Decimal partial sums keep the merge order-independent. The final
+    5-row × 5-row join of the two aggregates broadcasts."""
     e = load_table(spark, sf_dir, "events")
+    percentiles = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
     salted = e.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
     partial = salted.groupBy("event_type", "_salt").agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
     )
-    return partial.groupBy("event_type").agg(
+    totals = partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
         F.round(F.sum("pv").cast("double"), 4).alias("total_value"),
     )
+    return percentiles.join(F.broadcast(totals), "event_type")
 
 
 @register(
@@ -575,52 +621,6 @@ def q_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event"),
         F.lag("event_id", 1, -1).over(w).alias("prev_event"),
     )
-
-
-@register(
-    "q_exists_battery",
-    oracle="""
-        SELECT 'semi_discounted' AS op, o_orderpriority, COUNT(*) AS n_orders
-        FROM orders o
-        WHERE EXISTS (
-            SELECT 1 FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
-        )
-        GROUP BY o_orderpriority
-        UNION ALL
-        SELECT 'anti_returned' AS op, o_orderpriority, COUNT(*) AS n_orders
-        FROM orders o
-        WHERE NOT EXISTS (
-            SELECT 1 FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
-        )
-        GROUP BY o_orderpriority
-    """,
-    tags=("semi-join", "anti-join", "agg", "battery"),
-)
-def q_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Existential subqueries both ways, tagged by op: EXISTS as a LEFT
-    SEMI join (orders with a discounted line) and NOT EXISTS as a LEFT
-    ANTI join (orders with no returned line) — Catalyst's native
-    strategies. Each shuffles once on the order key and never
-    multiplies rows; the filter on lineitem is pushed to its scan."""
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    discounted = l.filter(F.col("l_discount") > 0.05).select("l_orderkey")
-    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
-    semi = (
-        o.join(discounted, o["o_orderkey"] == discounted["l_orderkey"], "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select(F.lit("semi_discounted").alias("op"), "o_orderpriority", "n_orders")
-    )
-    anti = (
-        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_anti")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select(F.lit("anti_returned").alias("op"), "o_orderpriority", "n_orders")
-    )
-    return semi.unionAll(anti)
 
 
 @register(

@@ -72,7 +72,16 @@ def run_to_memory(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    _await_bounded(query, timeout_sec, f"memory-sink replay {name}")
+    try:
+        _await_bounded(query, timeout_sec, f"memory-sink replay {name}")
+    except BaseException:
+        # The drain failed: nothing will ever consume the sink, so the
+        # deferred-release path below never runs — reclaim the
+        # partially-filled memory view (which pins rows in the driver)
+        # and the throwaway checkpoint now, then re-raise.
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        raise
     # The memory sink pins the full result in the driver until dropped;
     # release it (and the throwaway checkpoint dir) with the same
     # deferred lifecycle as the persist barriers: after the consuming
@@ -127,8 +136,10 @@ def run_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    _await_bounded(query, timeout_sec, "foreachBatch drain")
-    shutil.rmtree(checkpoint, ignore_errors=True)
+    try:
+        _await_bounded(query, timeout_sec, "foreachBatch drain")
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def await_any(spark: SparkSession) -> None:

@@ -79,6 +79,8 @@ def prematerialize_wires(spark: SparkSession, sf_dir: str) -> None:
     _materialize(events.select("ts", "event_type", "value"), f"win@{sf_dir}", 4)
     slim = events.select("event_id", "user_id", "event_type")
     _materialize(slim.union(slim), f"dup@{sf_dir}", 6)
+    slim_ts = events.select("event_id", "user_id", "event_type", "ts")
+    _materialize(slim_ts.union(slim_ts), f"dup-ts@{sf_dir}", 6)
 
 
 def _materialize_wire_stream(
@@ -220,13 +222,26 @@ def q_stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_risk",
-    oracle=None,  # per-batch update emission isn't SQL-replayable
+    # The raw update stream (one emission per customer per batch) isn't
+    # SQL-replayable, but the query COLLAPSES it to final state per
+    # customer — and final state is: count of non-null scores. COUNT
+    # (value) mirrors the op's null-tolerance; HAVING mirrors its
+    # emit-nothing-until-a-real-score behavior (stateful.py:48-52).
+    oracle=f"""
+        SELECT {_SQL_EMAIL_FROM_USER} AS customer,
+               COUNT(value) AS n_assessments
+        FROM events
+        GROUP BY 1
+        HAVING COUNT(value) > 0
+    """,
     tags=("streaming", "stateful", "pandas-udf"),
 )
 def q_stream_stateful_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running per-customer risk aggregate over a
     replayed risk stream; emits the latest state per customer per batch
-    (update mode). Final-state correctness is pinned by unit tests."""
+    (update mode), collapsed to final state so the relational derivation
+    is an exact oracle. Per-batch emission granularity is pinned by unit
+    tests (tests/test_streaming.py)."""
     risk = stedi.parse_risk_events(
         _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}")
     )
@@ -271,6 +286,53 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=2,
     )
     deduped = stream.dropDuplicates(["event_id"])
+    return run_to_memory(spark, deduped, output_mode="append")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale answer to stream_dedup_exact's O(distinct
+    keys) state: dropDuplicatesWithinWatermark keeps a seen-key only
+    until the event-time watermark passes it, so state is O(keys per
+    watermark window) — bounded — instead of O(all keys ever).
+
+    The replay doubles the events table (duplicates spread across
+    micro-batches) with the real event-time column; the watermark delay
+    here exceeds the table's full time span, so no row is ever late and
+    every duplicate collapses — the relational dedup is an exact
+    oracle. Actual state EVICTION under a tight watermark is pinned by
+    tests/test_streaming.py::test_drop_duplicates_within_watermark;
+    this row certifies the operator's dedup semantics across batches
+    through the driver. ts is projected away post-dedup: the oracle
+    compares identity columns (raw nanos-precision timestamps don't
+    round-trip the driver's pandas fetch)."""
+    from ..sources.testdata import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doubled = events.union(events)
+    path = _materialize(doubled, f"dup-ts@{sf_dir}", 6)
+    stream = stream_parquet_dir(
+        spark,
+        path,
+        StructType.fromDDL(
+            "event_id bigint, user_id bigint, event_type string, ts timestamp"
+        ),
+        max_files_per_trigger=2,
+    )
+    deduped = (
+        stream.withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
     return run_to_memory(spark, deduped, output_mode="append")
 
 

@@ -170,11 +170,17 @@ def main() -> int:
             if isinstance(v, float) and math.isnan(v)
         )
         if n_nan:
+            # A hard failure, not a WARN: the repo invariant is that no
+            # query emits NaN (NULL is the sentinel), and the pandas
+            # fetch on the oracle side collapses NaN to NULL — so a NaN
+            # regression would otherwise sail through the hash.
             print(
-                f"        WARN {name}: {n_nan} NaN cells in the Spark result "
-                "— NaN and NULL are indistinguishable through the driver's "
-                "pandas fetch, so the hash cannot tell them apart"
+                f"FAIL  {name}: {n_nan} NaN cells in the Spark result "
+                "(queries must emit NULL, never NaN — NaN is invisible "
+                "to the hash through the driver's pandas fetch)"
             )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check, {time.time()-t0:.1f}s)")
             n_rowsonly += 1

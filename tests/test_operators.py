@@ -140,6 +140,78 @@ def test_multimodal_decode_stub_raises_for_real_media():
         decode_payload(b"\xff\xd8", "image/jpeg")
 
 
+def test_ppm_decode_roundtrip_and_malformed():
+    from evaluate_human_balance_with_spark_streaming_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    pixels = bytes(range(2 * 2 * 3))
+    assert decode_ppm(encode_ppm(2, 2, pixels)) == pixels
+    assert decode_payload(encode_ppm(1, 1, b"\x00\x01\x02"), "image/ppm") == (
+        b"\x00\x01\x02"
+    )
+    # Header comments per the spec; pixel bytes may contain newlines.
+    assert (
+        decode_ppm(b"P6\n# a comment\n2 1\n255\n" + bytes([0, 10, 0, 10, 0, 10]))
+        == bytes([0, 10, 0, 10, 0, 10])
+    )
+    for bad in (
+        b"P3\n1 1\n255\nabc",  # ASCII PPM, not P6
+        b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00",  # 16-bit maxval
+        b"P6\n2 1\n255\n\x00",  # truncated pixel plane
+        b"P6\n1 1\n",  # truncated header
+    ):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_ppm_modality_through_arrow_feature_pass(spark):
+    """The decode seam exercised END-TO-END for a non-'raw' modality:
+    PPM payloads flow through the same mapInPandas pass as production
+    (decode → features + stride resize), and every output is pinned
+    against the features of the PIXEL PLANE (not the encoded payload) —
+    proving the codec ran inside the Arrow batch, hash included."""
+    import hashlib
+
+    from evaluate_human_balance_with_spark_streaming_spark.operators.multimodal import (
+        encode_ppm,
+        featurize_payloads,
+    )
+
+    pix_small = bytes([7, 200, 13, 0, 255, 128])  # 2x1 image
+    pix_big = bytes((i * 37) % 256 for i in range(10 * 5 * 3))  # 150 B
+    rows = [(1, encode_ppm(2, 1, pix_small)), (2, encode_ppm(10, 5, pix_big))]
+    mm = spark.createDataFrame(rows, "id bigint, payload binary").select(
+        "id", F.lit("image/ppm").alias("modality"), "payload"
+    )
+    got = {r.id: r for r in featurize_payloads(mm, target_bytes=64).collect()}
+
+    def expect(pix: bytes):
+        stride = len(pix) / 64
+        resized = (
+            pix if len(pix) <= 64 else bytes(pix[int(i * stride)] for i in range(64))
+        )
+        return (
+            len(pix),
+            sum(pix) / len(pix),
+            hashlib.md5(pix).hexdigest()[:8],
+            len(resized),
+            hashlib.md5(resized).hexdigest(),
+        )
+
+    for i, pix in ((1, pix_small), (2, pix_big)):
+        e = expect(pix)
+        r = got[i]
+        assert (
+            r.byte_len,
+            r.mean_byte,
+            r.feature_crc,
+            r.out_len,
+            r.resized_md5,
+        ) == (e[0], pytest.approx(e[1]), e[2], e[3], e[4])
+
+
 def test_frame_sampling_covers_payload(spark):
     text = "x" * 600  # 3 frames of 256
     df = docs_df(spark, [(1, text, "a")])

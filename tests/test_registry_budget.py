@@ -53,8 +53,10 @@ def test_registry_priority_order():
 
 
 def test_every_query_has_oracle_unless_declared():
-    # Only genuinely non-SQL-expressible ops may be rows-only.
-    rows_only_allowed = {"stream_stateful_risk"}
+    # Every registered query carries a DuckDB oracle — the stateful
+    # query's collapsed final-state output made the last rows-only row
+    # SQL-replayable (round 3). Keep this set empty.
+    rows_only_allowed: set[str] = set()
     names = set(all_queries())
     oracled = set(all_oracles())
     assert names - oracled == rows_only_allowed

@@ -95,7 +95,7 @@ def test_aqe_splits_skewed_join_partition(spark):
     at runtime ('skew=true' on the SortMergeJoin node). This is the
     no-manual-salting path the session config
     (spark.sql.adaptive.skewJoin.enabled) claims; the salted-key
-    aggregate (q_salted_hot_key_agg) remains the explicit fallback
+    aggregate (q_event_value_profile's salted side) remains the explicit fallback
     where AQE can't see the skew (e.g. pre-aggregation)."""
     confs = {
         # Make the tiny test partitions look skewed to AQE.

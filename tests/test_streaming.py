@@ -49,6 +49,29 @@ def test_risk_parse_runs_as_stream(spark):
     assert got == {("a@b.c", 1.5), ("d@e.f", -2.0)}
 
 
+def test_run_to_memory_timeout_cleans_up_sink_and_checkpoint(spark):
+    """A drain timeout must not leak the memory-sink temp view (pins
+    rows in the driver) or the throwaway checkpoint dir (runner.py
+    timeout path)."""
+    import pytest
+
+    stream = wire_stream(spark, [risk_json("a@b.c", 1.5)])
+    views_before = {t.name for t in spark.catalog.listTables()}
+    ckpt_root = tempfile.gettempdir()
+    ckpts_before = {
+        d for d in os.listdir(ckpt_root) if d.startswith("ehb-ckpt-")
+    }
+    # 1 ms: the drain can't finish (query start alone is >100 ms), so
+    # _await_bounded takes the timeout path deterministically.
+    with pytest.raises(TimeoutError):
+        run_to_memory(spark, stedi.parse_risk_events(stream), timeout_sec=1e-3)
+    assert {t.name for t in spark.catalog.listTables()} == views_before
+    ckpts_after = {
+        d for d in os.listdir(ckpt_root) if d.startswith("ehb-ckpt-")
+    }
+    assert ckpts_after == ckpts_before
+
+
 def test_stream_stream_join_accumulates_state_across_batches(spark):
     from conftest import envelope as shared_envelope
 
