@@ -65,8 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query. The single
-    omission is ``stream_stateful_risk`` (per-batch stateful emission
-    is genuinely non-SQL → rows-only check); even the pandas-UDF
-    multimodal pass has a byte-exact relational twin."""
+    """DuckDB-runnable ANSI SQL twin for EVERY query — no omissions as
+    of round 3 (the stateful streaming query collapses its per-batch
+    update emission to final state, which is relational); even the
+    pandas-UDF multimodal pass has a byte-exact relational twin."""
     return registry.all_oracles()

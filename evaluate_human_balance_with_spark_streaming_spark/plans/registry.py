@@ -14,9 +14,12 @@ meaningful (see repo __spark_entry__.py docstring):
 - render timestamps/dates as strings with an explicit format;
 - break ties deterministically before any LIMIT.
 
-Queries whose semantics SQL can't express (streaming with state,
-pandas-UDF feature extraction) register ``oracle=None`` → the driver
-records a weaker rows-only check.
+A query whose semantics SQL genuinely can't express may register
+``oracle=None`` → the driver records a weaker rows-only check. As of
+round 3 NO query needs this (tests/test_registry_budget.py pins the
+rows-only set empty): before reaching for ``oracle=None``, try
+collapsing the non-relational part (e.g. per-batch update emission →
+final state) into something SQL can replay.
 
 REGISTRY BUDGET — keep this at <= 50 queries. The correctness driver
 records rows for at most the FIRST 50 registered queries

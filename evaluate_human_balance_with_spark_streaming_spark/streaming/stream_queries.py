@@ -4,9 +4,11 @@ materialized table to the driver.
 
 The flagship streaming query shares its oracle with the batch flagship
 — stream(decode+join) must hash-match the relational derivation, which
-certifies both the pipeline and its incrementalization. Queries whose
-streaming semantics SQL can't replay (stateful pandas op; per-batch
-emission) register rows-only.
+certifies both the pipeline and its incrementalization. Every query
+here carries an oracle: even the stateful pandas op is hash-checked,
+because its registered form collapses the per-batch update stream to
+final state, which IS relational (per-batch emission granularity is
+pinned by unit tests instead).
 """
 
 from __future__ import annotations
