@@ -127,11 +127,30 @@ def wl_stream_flagship(spark, sf_dir, k):
     return run_to_memory(spark, joined, output_mode="append")
 
 
+def wl_cc_clusters(spark, sf_dir, k):
+    """Connected components over the K×-replicated LSH pair set — the
+    iterative operator under a pair graph that grows ~K² per component
+    (every doc gains K-1 near-dup mirrors, densifying each cluster into
+    a larger clique-ish blob). Measures whether per-round cost (one
+    shuffle + localCheckpoint + convergence count) tracks EDGES or
+    ROUNDS as the graph densifies; diameter stays shallow, so rounds
+    should stay flat while edges explode."""
+    docs = replicated(
+        load_table(spark, sf_dir, "documents"),
+        k,
+        id_cols=("doc_id",),
+        salt_col="text",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    return dedup.connected_components(pairs)
+
+
 WORKLOADS = [
     ("lineitem_pricing", wl_lineitem_pricing),
     ("exact_dedup", wl_exact_dedup),
     ("minhash_lsh", wl_minhash_lsh),
     ("simhash_pairs", wl_simhash_pairs),
+    ("cc_clusters", wl_cc_clusters),
     ("ann_ivf", wl_ann_ivf),
     ("stream_flagship", wl_stream_flagship),
 ]
