@@ -78,11 +78,20 @@ def _baseline_timings(here: str | None = None) -> dict[str, float]:
     # time) so the gate binds immediately instead of printing UNGATED
     # for a round. Driver recordings take precedence once they exist.
     timings: dict[str, float] = {}
+    extra_path = os.path.join(here, "BENCH_BASELINE_EXTRA.json")
     try:
-        with open(os.path.join(here, "BENCH_BASELINE_EXTRA.json")) as f:
+        with open(extra_path) as f:
             timings.update(json.load(f).get("queries") or {})
-    except Exception:
+    except FileNotFoundError:
         pass
+    except Exception as e:
+        # The file is hand-maintained; a parse typo must not silently
+        # un-gate exactly the queries it exists to gate.
+        print(
+            f"# WARNING unreadable {extra_path}: {e} — its queries run "
+            "UNGATED until fixed",
+            file=sys.stderr,
+        )
     if numbered:
         try:
             with open(max(numbered)[1]) as f:

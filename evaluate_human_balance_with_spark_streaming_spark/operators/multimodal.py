@@ -63,10 +63,16 @@ def decode_ppm(payload: bytes) -> bytes:
 
     if token() != b"P6":
         raise ValueError("ppm: not a P6 binary PPM")
-    try:
-        width, height, maxval = int(token()), int(token()), int(token())
-    except ValueError as e:
-        raise ValueError(f"ppm: bad header int: {e}") from None
+
+    def header_int() -> int:
+        tok = token()
+        # Python's int() accepts '+1', '1_0', etc. — digits-only is
+        # what the PPM header grammar allows.
+        if not tok.isdigit():
+            raise ValueError(f"ppm: bad header int {tok!r}")
+        return int(tok)
+
+    width, height, maxval = header_int(), header_int(), header_int()
     if maxval != 255:
         raise ValueError(f"ppm: only maxval 255 supported, got {maxval}")
     pos += 1  # exactly one whitespace byte separates header and pixels

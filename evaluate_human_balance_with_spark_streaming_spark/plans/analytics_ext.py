@@ -298,6 +298,7 @@ def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_events,
                ROUND(SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE, 4) AS total_value
         FROM events
+        WHERE event_type IS NOT NULL
         GROUP BY event_type
     """,
     tags=("agg", "percentile", "skew", "battery"),
@@ -320,8 +321,16 @@ def q_event_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 reducers; phase 2 merges the 16 partials per key — identical to
     the direct group-by (the oracle); the plan shape is the point.
     Decimal partial sums keep the merge order-independent. The final
-    5-row × 5-row join of the two aggregates broadcasts."""
-    e = load_table(spark, sf_dir, "events")
+    5-row × 5-row join of the two aggregates broadcasts.
+
+    Certified domain is explicit: both sides keep only non-null
+    event_type. The join is null-UNSAFE (Spark would silently drop a
+    NULL group the single-pass oracle GROUP BY keeps), so the filter
+    is mirrored in the SQL — parity survives fixture regeneration
+    instead of assuming the current fixtures' zero-null column."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     percentiles = e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),

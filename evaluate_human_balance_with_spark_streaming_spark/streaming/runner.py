@@ -78,8 +78,21 @@ def run_to_memory(
         # The drain failed: nothing will ever consume the sink, so the
         # deferred-release path below never runs — reclaim the
         # partially-filled memory view (which pins rows in the driver)
-        # and the throwaway checkpoint now, then re-raise.
-        spark.catalog.dropTempView(name)
+        # and the throwaway checkpoint now, then re-raise. Stop the
+        # query FIRST: _await_bounded only stops on ITS timeout path —
+        # a KeyboardInterrupt/py4j error mid-await would otherwise
+        # leave the query writing into the checkpoint while rmtree
+        # races it (stop() twice is harmless). Each step is isolated so
+        # a failing dropTempView (e.g. a dead gateway after the
+        # interrupt) can't mask the original exception or skip rmtree.
+        for cleanup in (
+            query.stop,
+            lambda: spark.catalog.dropTempView(name),
+        ):
+            try:
+                cleanup()
+            except Exception:
+                pass
         shutil.rmtree(checkpoint, ignore_errors=True)
         raise
     # The memory sink pins the full result in the driver until dropped;

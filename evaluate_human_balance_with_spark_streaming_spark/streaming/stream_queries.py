@@ -79,8 +79,10 @@ def prematerialize_wires(spark: SparkSession, sf_dir: str) -> None:
     _materialize(stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}", 4)
     events = load_table(spark, sf_dir, "events")
     _materialize(events.select("ts", "event_type", "value"), f"win@{sf_dir}", 4)
-    slim = events.select("event_id", "user_id", "event_type")
-    _materialize(slim.union(slim), f"dup@{sf_dir}", 6)
+    # ONE doubled-events wire serves both dedup queries:
+    # stream_dedup_exact reads it with a 3-column schema (parquet
+    # column pruning drops ts at the scan) while the within-watermark
+    # variant reads all 4 — no second full materialization.
     slim_ts = events.select("event_id", "user_id", "event_type", "ts")
     _materialize(slim_ts.union(slim_ts), f"dup-ts@{sf_dir}", 6)
 
@@ -271,16 +273,19 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive in different batches) and dropDuplicates on event_id must
     reduce it back to exactly the original rows — state carries seen
     keys across batches. Production bounds that state with
-    dropDuplicatesWithinWatermark; the replay here has no event-time
-    column, so state is O(distinct keys) as in the reference's own
-    unbounded-state join."""
+    dropDuplicatesWithinWatermark (stream_dedup_within_watermark); this
+    replay never SELECTS the event-time column — its 3-column read
+    schema prunes ts at the parquet scan — so state is O(distinct keys)
+    as in the reference's own unbounded-state join. The wire dir is
+    shared with the watermarked variant (one materialization, two read
+    schemas)."""
     from ..sources.testdata import load_table
 
     events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
+        "event_id", "user_id", "event_type", "ts"
     )
     doubled = events.union(events)
-    path = _materialize(doubled, f"dup@{sf_dir}", 6)
+    path = _materialize(doubled, f"dup-ts@{sf_dir}", 6)
     stream = stream_parquet_dir(
         spark,
         path,

@@ -100,14 +100,12 @@ def normalize_cell(v) -> str:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            # Rendered as NULL on BOTH sides: the driver fetches DuckDB
-            # through pandas, where a float NULL and a float NaN are the
-            # same NaN — the distinction is unknowable on the oracle
-            # side, so the Spark side must collapse it identically or a
-            # query on which both engines agree (both NaN) would FAIL
-            # while a real NULL-vs-NaN divergence PASSED. Queries are
-            # expected not to emit NaN at all; the runner prints a WARN
-            # when one does so the blindness is visible.
+            # Defense-in-depth only: a Spark row with NaN hard-FAILS in
+            # main() before any hashing (NULL is the sentinel; NaN is
+            # invisible through the driver's pandas fetch), and oracle
+            # rows have NaN→None applied at fetch time. If a NaN still
+            # reaches here through some future path, collapse it to the
+            # same NULL rendering the oracle side gets.
             return "NULL"
         # Collapse -0.0/0.0 and render with repr for full precision;
         # float() strips numpy scalar types (numpy 2 repr differs).

@@ -161,6 +161,10 @@ def test_ppm_decode_roundtrip_and_malformed():
         b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00",  # 16-bit maxval
         b"P6\n2 1\n255\n\x00",  # truncated pixel plane
         b"P6\n1 1\n",  # truncated header
+        # Python int() liberality must not leak into the header
+        # grammar: underscores and signs are digits-only violations.
+        b"P6\n1_0 10\n255\n" + bytes(300),
+        b"P6\n+1 1\n255\n\x00\x00\x00",
     ):
         with pytest.raises(ValueError):
             decode_ppm(bad)
