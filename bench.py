@@ -58,6 +58,17 @@ HEADLINE = [
 # so a single regressed query can hide inside a healthy total. Strict
 # by default (exit 1); set SPARK_GRAFT_BENCH_LENIENT=1 for exploratory
 # runs where a known-slow work-in-progress query shouldn't abort.
+#
+# The comparison is drift-aware: a loaded machine slows EVERY query by
+# a common factor (measured 1.5x suite-wide on a busy box vs the r02
+# recording), which a purely relative per-query check misreads as a
+# regression on sub-second baselines. The gate therefore estimates
+# suite drift as the MEDIAN now/baseline ratio across gated queries
+# (median, so a minority of real regressions can't shift it) and flags
+# a query only when it is >REGRESSION_FACTOR slower than its
+# drift-adjusted baseline. A genuine suite-wide regression is NOT
+# masked: if the median ratio itself exceeds REGRESSION_FACTOR, the
+# gate fails with a suite-wide entry instead.
 REGRESSION_FACTOR = 2.0
 
 
@@ -105,18 +116,53 @@ def _baseline_timings(here: str | None = None) -> dict[str, float]:
     return timings
 
 
+def suite_drift(
+    timings: dict[str, float], baseline: dict[str, float]
+) -> float:
+    """Median now/baseline ratio over gated queries, floored at 1.0
+    (a faster machine never EXCUSES a slowdown, it only tightens the
+    bar by staying at 1.0). Median, not mean: a minority of genuinely
+    regressed queries cannot drag the estimate up and excuse
+    themselves."""
+    ratios = sorted(
+        dt / baseline[name]
+        for name, dt in timings.items()
+        if name in baseline and baseline[name] > 0
+    )
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return max(1.0, med)
+
+
 def find_regressions(
     timings: dict[str, float], baseline: dict[str, float]
 ) -> dict[str, dict[str, float]]:
-    """Per-query >REGRESSION_FACTOR slowdowns vs the baseline (unit-
-    tested; bench exits non-zero on any unless LENIENT is set)."""
-    return {
-        name: {"now": dt, "baseline": baseline[name]}
+    """Per-query >REGRESSION_FACTOR slowdowns vs the drift-adjusted
+    baseline (unit-tested; bench exits non-zero on any unless LENIENT
+    is set). If suite drift itself exceeds the factor — every query
+    slowed, which no per-query adjustment should forgive — a
+    `__suite__` entry is returned so the run still fails."""
+    drift = suite_drift(timings, baseline)
+    if drift > REGRESSION_FACTOR:
+        return {"__suite__": {"now": round(drift, 3), "baseline": 1.0}}
+    out = {
+        name: {
+            "now": dt,
+            "baseline": baseline[name],
+            "drift": round(drift, 3),
+        }
         for name, dt in timings.items()
         if name in baseline
         and baseline[name] > 0
-        and dt > REGRESSION_FACTOR * baseline[name]
+        and dt > REGRESSION_FACTOR * drift * baseline[name]
     }
+    return out
 
 
 def _streaming_warmup(spark, sf_dir: str) -> None:
@@ -283,11 +329,19 @@ def report_and_gate(
             # instead of letting the gate pass vacuously for them.
             print(f"# UNGATED {name}: no baseline entry", file=sys.stderr)
     for name, r in regressions.items():
-        print(
-            f"# REGRESSION {name}: {r['now']}s vs baseline {r['baseline']}s "
-            f"(>{REGRESSION_FACTOR}x)",
-            file=sys.stderr,
-        )
+        if name == "__suite__":
+            print(
+                f"# REGRESSION suite-wide: median slowdown {r['now']}x "
+                f"vs baseline (>{REGRESSION_FACTOR}x)",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"# REGRESSION {name}: {r['now']}s vs baseline "
+                f"{r['baseline']}s (>{REGRESSION_FACTOR}x after "
+                f"{r['drift']}x suite drift)",
+                file=sys.stderr,
+            )
 
     print(
         json.dumps(
