@@ -323,6 +323,19 @@ def report_and_gate(
     gate is unit-testable without a Spark session."""
     baseline = _baseline_timings()
     regressions = find_regressions(timings, baseline)
+    # Apples-to-apples across rounds: the headline list GROWS as
+    # operators land (r03 added 3 queries over r02), so the raw
+    # best-sum is not comparable round-over-round. Emit the sum
+    # restricted to queries that have a recorded baseline, next to the
+    # baseline's own sum over the same set, plus the drift estimate —
+    # the like-for-like numbers, in the artifact itself.
+    gated = [n for n in timings if n in baseline and baseline[n] > 0]
+    comparable = {
+        "queries": len(gated),
+        "sum_now": round(sum(timings[n] for n in gated), 3),
+        "sum_baseline": round(sum(baseline[n] for n in gated), 3),
+        "suite_drift": round(suite_drift(timings, baseline), 3),
+    }
     for name in timings:
         if name not in baseline:
             # New/renamed queries have no baseline entry — say so
@@ -361,6 +374,7 @@ def report_and_gate(
                 "wall_s": timed_wall,
                 "queries": timings,
                 "sf": sf,
+                "comparable": comparable,
                 "regressions": regressions,
             }
         )

@@ -106,6 +106,25 @@ def test_gate_fails_run_on_regression_by_default(monkeypatch, capsys):
     }
 
 
+def test_comparable_subset_in_report(monkeypatch, capsys):
+    """The JSON line carries the like-for-like numbers: sums restricted
+    to baseline-gated queries (suite growth must not skew round-over-
+    round comparison) plus the drift estimate."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_LENIENT", raising=False)
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0})
+    rc = report_and_gate(
+        {"q": 1.4, "r": 1.6, "new_q": 2.0}, 5.0, 5.0, sf=0.1, reps=2
+    )
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["comparable"] == {
+        "queries": 2,
+        "sum_now": 3.0,
+        "sum_baseline": 2.0,
+        "suite_drift": 1.5,
+    }
+
+
 def test_gate_lenient_optout_and_clean_pass(monkeypatch, capsys):
     monkeypatch.setattr(
         bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0, "s": 1.0}
