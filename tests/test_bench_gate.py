@@ -1,7 +1,8 @@
 """The bench regression gate is strict by default (VERDICT r02 item 2):
-these tests pin the gate math and the baseline-merge order without
-spinning up Spark, and a subprocess test proves a deliberately slowed
-query makes `python bench.py` exit non-zero.
+these tests pin the gate math — drift-aware per-query flagging, the
+suite-wide backstop, baseline-merge order, and the strict/lenient exit
+codes via report_and_gate (main()'s only gate path) — without spinning
+up Spark.
 """
 
 from __future__ import annotations
