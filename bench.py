@@ -52,47 +52,100 @@ HEADLINE = [
     "stream_dedup_within_watermark",
 ]
 
-# Per-query regression gate: compare against the newest recorded
-# BENCH_r{N}.json (the standing baseline per VERDICT r01 §Perf) and
+# Per-query regression gate: compare against the recorded baseline and
 # fail on >2x per-query slowdowns — the suite is fixed-cost dominated,
 # so a single regressed query can hide inside a healthy total. Strict
 # by default (exit 1); set SPARK_GRAFT_BENCH_LENIENT=1 for exploratory
 # runs where a known-slow work-in-progress query shouldn't abort.
 #
-# The comparison is drift-aware: a loaded machine slows EVERY query by
-# a common factor (measured 1.5x suite-wide on a busy box vs the r02
-# recording), which a purely relative per-query check misreads as a
-# regression on sub-second baselines. The gate therefore estimates
-# suite drift as the MEDIAN now/baseline ratio across gated queries
-# (median, so a minority of real regressions can't shift it) and flags
-# a query only when it is >REGRESSION_FACTOR slower than its
-# drift-adjusted baseline. A genuine suite-wide regression is NOT
-# masked: if the median ratio itself exceeds REGRESSION_FACTOR, the
-# gate fails with a suite-wide entry instead.
+# Drift policy (VERDICT r03 item 1): environmental drift — a slower or
+# loaded box — is estimated from an INDEPENDENT calibration probe, not
+# from the judged queries themselves. The probe is a code-frozen,
+# data-independent Spark job (range → md5 → hash aggregate) whose plan
+# never changes round to round, so its now/baseline ratio measures the
+# BOX, not the code. The credited drift is capped well below the
+# regression factor (ADVICE r03: an uncapped estimate widens every
+# per-query bar exactly when regressions are broadest); beyond the cap
+# the run flags queries and a human adjudicates with the probe +
+# loadavg numbers that are now in the artifact.
 REGRESSION_FACTOR = 2.0
+DRIFT_CAP = 1.5
+# The suite-wide backstop judges the gated-set SUM at a TIGHTER factor
+# than the per-query bar: a broad 1.6-1.9x slowdown never trips any
+# per-query flag (and with strict > at the same factor, a sum check at
+# REGRESSION_FACTOR would be implied by the per-query flags and catch
+# nothing new), but it moves the suite toward the driver's 2x budget
+# and deserves a loud entry.
+SUITE_FACTOR = 1.5
+
+# Calibration probe constants — FROZEN. Changing either invalidates
+# every recorded probe baseline; do not touch without re-recording
+# BENCH_BASELINE.json on a known-idle box.
+CALIBRATION_ROWS = 8_000_000
+CALIBRATION_PARTITIONS = 32
 
 
-def _baseline_timings(here: str | None = None) -> dict[str, float]:
+def calibration_probe(spark, reps: int = 3) -> float:
+    """Best-of-``reps`` seconds for the frozen probe plan: 32-way
+    parallel md5 over a range + hash aggregate. Pure generated data —
+    no I/O, no test tables — and all whole-stage-codegen JVM work, the
+    same cost class (parallel CPU) where environmental drift shows up
+    first (VERDICT r03: the r2→r3 slowdown concentrated in CPU-parallel
+    queries)."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        (
+            spark.range(0, CALIBRATION_ROWS, 1, CALIBRATION_PARTITIONS)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .groupBy(F.substring("h", 1, 2).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"), F.max("h").alias("m"))
+            .count()
+        )
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except Exception:
+        return []
+
+
+def _read_bench_json(path: str) -> dict:
+    """Read a bench artifact: either the driver wrapper ({n, rc, cpus,
+    sf, tail, parsed: {...}}) or a bare recording of this script's own
+    JSON line (`python bench.py > BENCH_BASELINE.json`)."""
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("parsed") or d
+
+
+def _baseline_artifacts(here: str | None = None) -> list[dict]:
+    """Baseline sources in increasing precedence: hand-maintained EXTRA
+    (queries added after the last recording) < newest driver BENCH_r
+    recording < BENCH_BASELINE.json, the DELIBERATE clean-box recording
+    (made with `SPARK_GRAFT_BENCH_LENIENT=1 python bench.py >
+    BENCH_BASELINE.json` on an idle box, loadavg in the artifact to
+    prove it). Driver recordings can land on a loaded machine — letting
+    the newest one win would ratchet the baseline toward whatever the
+    slowest box recorded; the deliberate artifact pins the bar to a
+    measured-clean run and is re-recorded when a query's expected cost
+    legitimately changes."""
     import glob
     import re
 
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
-    numbered = []
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            numbered.append((int(m.group(1)), p))
-    # Queries added to HEADLINE after the newest driver recording have
-    # no BENCH_r entry yet; BENCH_BASELINE_EXTRA.json carries their
-    # hand-measured numbers (same best-of-N protocol, recorded at add
-    # time) so the gate binds immediately instead of printing UNGATED
-    # for a round. Driver recordings take precedence once they exist.
-    timings: dict[str, float] = {}
+    out: list[dict] = []
     extra_path = os.path.join(here, "BENCH_BASELINE_EXTRA.json")
     try:
-        with open(extra_path) as f:
-            timings.update(json.load(f).get("queries") or {})
+        out.append(_read_bench_json(extra_path))
     except FileNotFoundError:
         pass
     except Exception as e:
@@ -103,54 +156,66 @@ def _baseline_timings(here: str | None = None) -> dict[str, float]:
             "UNGATED until fixed",
             file=sys.stderr,
         )
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
     if numbered:
         try:
-            with open(max(numbered)[1]) as f:
-                d = json.load(f)
-            # The driver wraps this script's JSON line under "parsed"
-            # ({n, rc, cpus, sf, tail, parsed: {queries: ...}}); accept
-            # a bare recording of the line itself too.
-            timings.update((d.get("parsed") or d).get("queries") or {})
+            out.append(_read_bench_json(max(numbered)[1]))
         except Exception:
             pass
+    try:
+        out.append(_read_bench_json(os.path.join(here, "BENCH_BASELINE.json")))
+    except Exception:
+        pass
+    return out
+
+
+def _baseline_timings(here: str | None = None) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for art in _baseline_artifacts(here):
+        timings.update(art.get("queries") or {})
     return timings
 
 
-def suite_drift(
-    timings: dict[str, float], baseline: dict[str, float]
-) -> float:
-    """Median now/baseline ratio over gated queries, floored at 1.0
-    (a faster machine never EXCUSES a slowdown, it only tightens the
-    bar by staying at 1.0). Median, not mean: a minority of genuinely
-    regressed queries cannot drag the estimate up and excuse
-    themselves."""
-    ratios = sorted(
-        dt / baseline[name]
-        for name, dt in timings.items()
-        if name in baseline and baseline[name] > 0
-    )
-    if not ratios:
+def _baseline_probe(here: str | None = None) -> float | None:
+    """The recorded calibration-probe seconds, from the same artifacts
+    (later sources win) — None until one has been recorded."""
+    probe = None
+    for art in _baseline_artifacts(here):
+        p = (art.get("calibration") or {}).get("probe_s")
+        if p:
+            probe = p
+    return probe
+
+
+def credited_drift(probe_now: float | None, probe_base: float | None) -> float:
+    """Environmental drift credited to every per-query bar: the probe
+    ratio, floored at 1.0 (a faster box never loosens the bar) and
+    capped at DRIFT_CAP (a heavily degraded box widens the bars only so
+    far — beyond that, flags fire and the artifact's probe + loadavg
+    numbers adjudicate). 1.0 when either measurement is missing."""
+    if not probe_now or not probe_base:
         return 1.0
-    mid = len(ratios) // 2
-    med = (
-        ratios[mid]
-        if len(ratios) % 2
-        else (ratios[mid - 1] + ratios[mid]) / 2
-    )
-    return max(1.0, med)
+    return max(1.0, min(probe_now / probe_base, DRIFT_CAP))
 
 
 def find_regressions(
-    timings: dict[str, float], baseline: dict[str, float]
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    drift: float = 1.0,
 ) -> dict[str, dict[str, float]]:
     """Per-query >REGRESSION_FACTOR slowdowns vs the drift-adjusted
     baseline (unit-tested; bench exits non-zero on any unless LENIENT
-    is set). If suite drift itself exceeds the factor — every query
-    slowed, which no per-query adjustment should forgive — a
-    `__suite__` entry is returned so the run still fails."""
-    drift = suite_drift(timings, baseline)
-    if drift > REGRESSION_FACTOR:
-        return {"__suite__": {"now": round(drift, 3), "baseline": 1.0}}
+    is set). A suite-wide `__suite__` entry is ADDED — never replacing
+    the per-query entries (ADVICE r03: an early return here discarded
+    the per-query culprits) — when the gated-set sum exceeds SUITE_FACTOR
+    times its drift-adjusted baseline: a broad uniform 1.6-1.9x
+    regression trips no per-query flag (and at REGRESSION_FACTOR a sum
+    check would be implied by the per-query flags) but moves the suite
+    toward the driver's 2x budget and must surface."""
     out = {
         name: {
             "now": dt,
@@ -162,6 +227,16 @@ def find_regressions(
         and baseline[name] > 0
         and dt > REGRESSION_FACTOR * drift * baseline[name]
     }
+    gated = [n for n in timings if n in baseline and baseline[n] > 0]
+    if gated:
+        sum_now = sum(timings[n] for n in gated)
+        sum_base = sum(baseline[n] for n in gated)
+        if sum_now > SUITE_FACTOR * drift * sum_base:
+            out["__suite__"] = {
+                "now": round(sum_now, 3),
+                "baseline": round(sum_base, 3),
+                "drift": round(drift, 3),
+            }
     return out
 
 
@@ -258,6 +333,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    load_pre = _loadavg()
     spark = get_spark("ehb-bench")
 
     # Warmup: touch the fact table so JVM/codegen init doesn't bill q1,
@@ -270,6 +346,12 @@ def main() -> int:
     # whole-stage codegen, which legitimately bills each query once.)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     _streaming_warmup(spark, sf_dir)
+
+    # Calibration probe, warm (after the warmups, so its own plan JIT
+    # doesn't bill the first measurement) — and again after the suite;
+    # the min is the box's best observed capability this run, the
+    # pre/post spread shows load arriving mid-run.
+    probe_pre = calibration_probe(spark)
 
     from evaluate_human_balance_with_spark_streaming_spark.caching import (
         release_managed,
@@ -306,7 +388,21 @@ def main() -> int:
     timed_wall = round(time.time() - timed_t0, 3)
     release_managed()
 
-    return report_and_gate(timings, round(total, 3), timed_wall, sf, reps)
+    probe_post = calibration_probe(spark)
+    calibration = {
+        "probe_s": min(probe_pre, probe_post),
+        "probe_pre_s": probe_pre,
+        "probe_post_s": probe_post,
+        "rows": CALIBRATION_ROWS,
+    }
+    load = {
+        "loadavg_pre": load_pre,
+        "loadavg_post": _loadavg(),
+        "cpus": os.cpu_count(),
+    }
+    return report_and_gate(
+        timings, round(total, 3), timed_wall, sf, reps, calibration, load
+    )
 
 
 def report_and_gate(
@@ -315,6 +411,8 @@ def report_and_gate(
     timed_wall: float,
     sf: float,
     reps: int,
+    calibration: dict | None = None,
+    load: dict | None = None,
 ) -> int:
     """Print the driver JSON line and return the exit code: non-zero on
     any >REGRESSION_FACTOR per-query regression unless
@@ -322,19 +420,26 @@ def report_and_gate(
     must not slide through a default run). Split from main() so the
     gate is unit-testable without a Spark session."""
     baseline = _baseline_timings()
-    regressions = find_regressions(timings, baseline)
+    calibration = dict(calibration or {})
+    probe_base = _baseline_probe()
+    drift = credited_drift(calibration.get("probe_s"), probe_base)
+    calibration["baseline_s"] = probe_base
+    if calibration.get("probe_s") and probe_base:
+        calibration["raw_ratio"] = round(calibration["probe_s"] / probe_base, 3)
+    calibration["credited_drift"] = round(drift, 3)
+    regressions = find_regressions(timings, baseline, drift)
     # Apples-to-apples across rounds: the headline list GROWS as
     # operators land (r03 added 3 queries over r02), so the raw
     # best-sum is not comparable round-over-round. Emit the sum
     # restricted to queries that have a recorded baseline, next to the
-    # baseline's own sum over the same set, plus the drift estimate —
+    # baseline's own sum over the same set, plus the drift credit —
     # the like-for-like numbers, in the artifact itself.
     gated = [n for n in timings if n in baseline and baseline[n] > 0]
     comparable = {
         "queries": len(gated),
         "sum_now": round(sum(timings[n] for n in gated), 3),
         "sum_baseline": round(sum(baseline[n] for n in gated), 3),
-        "suite_drift": round(suite_drift(timings, baseline), 3),
+        "credited_drift": round(drift, 3),
     }
     for name in timings:
         if name not in baseline:
@@ -344,15 +449,16 @@ def report_and_gate(
     for name, r in regressions.items():
         if name == "__suite__":
             print(
-                f"# REGRESSION suite-wide: median slowdown {r['now']}x "
-                f"vs baseline (>{REGRESSION_FACTOR}x)",
+                f"# REGRESSION suite-wide: gated sum {r['now']}s vs "
+                f"baseline {r['baseline']}s (>{REGRESSION_FACTOR}x after "
+                f"{r['drift']}x credited drift)",
                 file=sys.stderr,
             )
         else:
             print(
                 f"# REGRESSION {name}: {r['now']}s vs baseline "
                 f"{r['baseline']}s (>{REGRESSION_FACTOR}x after "
-                f"{r['drift']}x suite drift)",
+                f"{r['drift']}x credited drift)",
                 file=sys.stderr,
             )
 
@@ -374,6 +480,8 @@ def report_and_gate(
                 "wall_s": timed_wall,
                 "queries": timings,
                 "sf": sf,
+                "calibration": calibration,
+                "load": load or {},
                 "comparable": comparable,
                 "regressions": regressions,
             }

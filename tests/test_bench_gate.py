@@ -1,8 +1,10 @@
 """The bench regression gate is strict by default (VERDICT r02 item 2):
-these tests pin the gate math — drift-aware per-query flagging, the
-suite-wide backstop, baseline-merge order, and the strict/lenient exit
-codes via report_and_gate (main()'s only gate path) — without spinning
-up Spark.
+these tests pin the gate math — probe-based drift credit (VERDICT r03
+item 1: drift comes from an independent calibration probe, never from
+the judged queries), the drift cap, the suite-wide backstop that never
+hides per-query culprits (ADVICE r03), baseline-merge precedence, and
+the strict/lenient exit codes via report_and_gate (main()'s only gate
+path) — without spinning up Spark.
 """
 
 from __future__ import annotations
@@ -15,61 +17,88 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
 from bench import (
+    DRIFT_CAP,
+    REGRESSION_FACTOR,
+    _baseline_probe,
     _baseline_timings,
+    credited_drift,
     find_regressions,
     report_and_gate,
-    suite_drift,
 )
 
 
 def test_find_regressions_flags_only_over_factor():
     baseline = {"a": 1.0, "b": 1.0, "c": 0.0, "d": 2.0, "e": 1.0, "f": 1.0}
-    timings = {"a": 2.5, "b": 1.9, "c": 99.0, "e": 1.0, "f": 1.0, "g": 50.0}
+    timings = {"a": 2.5, "b": 1.4, "c": 99.0, "e": 1.0, "f": 1.0, "g": 50.0}
     out = find_regressions(timings, baseline)
-    # Drift: median of (2.5, 1.9, 1.0, 1.0) = 1.45 → adjusted bar for
-    # a is 2.9 → a squeaks under; bump a to make the flag definitive.
-    assert out == {}
-    timings["a"] = 3.0
-    out = find_regressions(timings, baseline)
-    # a: >2x drift-adjusted → flagged; b: <2x → not; c: zero baseline
-    # ignored; g: no baseline entry (UNGATED) → not.
+    # a: >2x → flagged; b: <2x → not; c: zero baseline ignored; g: no
+    # baseline entry (UNGATED) → not.
     assert set(out) == {"a"}
-    assert out["a"]["now"] == 3.0 and out["a"]["baseline"] == 1.0
+    assert out["a"]["now"] == 2.5 and out["a"]["baseline"] == 1.0
 
 
-def test_drift_correction_forgives_uniform_load():
-    """A loaded machine slowing EVERYTHING 1.5x flags nothing; a query
-    an additional >2x beyond that drift is still flagged."""
+def test_probe_drift_forgives_uniform_load():
+    """A loaded box slowing EVERYTHING 1.4x — measured by the PROBE,
+    not inferred from the judged queries — flags nothing; a query an
+    additional >2x beyond that credited drift is still flagged."""
     baseline = {q: 1.0 for q in "abcdefgh"}
-    timings = {q: 1.5 for q in "abcdefgh"}
-    assert find_regressions(timings, baseline) == {}
-    timings["a"] = 3.5  # 3.5x raw, 2.33x beyond the 1.5x drift
-    out = find_regressions(timings, baseline)
+    timings = {q: 1.4 for q in "abcdefgh"}
+    drift = credited_drift(probe_now=1.4, probe_base=1.0)
+    assert drift == 1.4
+    assert find_regressions(timings, baseline, drift) == {}
+    timings["a"] = 3.5  # 3.5x raw, 2.5x beyond the 1.4x credited drift
+    out = find_regressions(timings, baseline, drift)
     assert set(out) == {"a"}
+    assert out["a"]["drift"] == 1.4
 
 
-def test_suite_wide_regression_not_masked():
-    """If the median itself exceeds the factor, drift correction must
-    NOT excuse it — the gate fails with a __suite__ entry."""
+def test_drift_credit_is_capped():
+    """ADVICE r03: uncapped drift widens every bar exactly when
+    regressions are broadest. A probe reporting a 3x-degraded box
+    credits only DRIFT_CAP — queries slower than FACTOR*CAP still
+    flag, and the artifact's raw probe ratio adjudicates."""
+    assert credited_drift(probe_now=3.0, probe_base=1.0) == DRIFT_CAP
+    baseline = {q: 1.0 for q in "abcde"}
+    timings = {q: 3.5 for q in "abcde"}  # > FACTOR * CAP = 3.0
+    out = find_regressions(timings, baseline, credited_drift(3.0, 1.0))
+    assert set(out) == {"a", "b", "c", "d", "e", "__suite__"}
+
+
+def test_drift_floored_at_one_and_defaults():
+    """A faster box (probe ratio < 1) never loosens the bar; a missing
+    probe measurement or baseline credits no drift at all."""
+    assert credited_drift(probe_now=0.5, probe_base=1.0) == 1.0
+    assert credited_drift(probe_now=None, probe_base=1.0) == 1.0
+    assert credited_drift(probe_now=1.0, probe_base=None) == 1.0
+    baseline = {q: 1.0 for q in "abcde"}
+    timings = dict.fromkeys("abcde", 0.5) | {"a": 2.5}
+    assert set(find_regressions(timings, baseline, 1.0)) == {"a"}
+
+
+def test_suite_backstop_keeps_per_query_culprits():
+    """A broad uniform regression (probe clean → drift 1.0) adds a
+    __suite__ entry WITHOUT discarding the per-query entries (ADVICE
+    r03: the old early return hid the culprits); a broad 1.6x
+    slowdown that trips no per-query bar still trips the tighter
+    SUITE_FACTOR sum check."""
     baseline = {q: 1.0 for q in "abcdef"}
     timings = {q: 2.5 for q in "abcdef"}
-    out = find_regressions(timings, baseline)
-    assert set(out) == {"__suite__"}
-    assert out["__suite__"]["now"] == 2.5
+    out = find_regressions(timings, baseline, drift=1.0)
+    assert "__suite__" in out
+    assert set(out) == {"__suite__", "a", "b", "c", "d", "e", "f"}
+    assert out["__suite__"]["now"] == 15.0
+    timings = {q: 1.4 for q in "abcdef"}
+    out = find_regressions(timings, baseline, drift=1.0)
+    assert set(out) == set()  # 1.4x < SUITE_FACTOR: passes
+    timings = {q: 1.6 for q in "abcdef"}
+    out = find_regressions(timings, baseline, drift=1.0)
+    assert set(out) == {"__suite__"}  # no per-query culprit, sum flags
 
 
-def test_drift_floored_at_one():
-    """A faster machine (ratios < 1) never loosens the bar: drift
-    stays 1.0 and a 2.5x query is still flagged."""
-    baseline = {q: 1.0 for q in "abcde"}
-    timings = {q: 0.5 for q in "abcde"}
-    assert suite_drift(timings, baseline) == 1.0
-    timings["a"] = 2.5
-    out = find_regressions(timings, baseline)
-    assert set(out) == {"a"}
-
-
-def test_baseline_merges_extra_under_newest_bench(tmp_path):
+def test_baseline_precedence(tmp_path):
+    """EXTRA < newest BENCH_r < BENCH_BASELINE (the deliberate clean-box
+    recording wins; driver recordings can land on a loaded box and must
+    not ratchet the bar)."""
     (tmp_path / "BENCH_BASELINE_EXTRA.json").write_text(
         json.dumps({"queries": {"new_q": 1.5, "old_q": 99.0}})
     )
@@ -77,16 +106,35 @@ def test_baseline_merges_extra_under_newest_bench(tmp_path):
         json.dumps({"parsed": {"queries": {"old_q": 3.0, "gone_q": 1.0}}})
     )
     (tmp_path / "BENCH_r2.json").write_text(
-        json.dumps({"parsed": {"queries": {"old_q": 2.0}}})
+        json.dumps(
+            {
+                "parsed": {
+                    "queries": {"old_q": 2.0},
+                    "calibration": {"probe_s": 0.9},
+                }
+            }
+        )
     )
     got = _baseline_timings(str(tmp_path))
-    # Newest BENCH wins for old_q (2.0, not the EXTRA 99.0 or r1's
-    # 3.0); EXTRA fills queries the driver hasn't recorded yet.
+    # Only the NEWEST driver recording contributes (r1's gone_q is
+    # stale history, not baseline).
     assert got == {"new_q": 1.5, "old_q": 2.0}
+    assert _baseline_probe(str(tmp_path)) == 0.9
+    # A bare (unwrapped) deliberate recording takes precedence over
+    # both, for queries it covers.
+    (tmp_path / "BENCH_BASELINE.json").write_text(
+        json.dumps(
+            {"queries": {"old_q": 1.0}, "calibration": {"probe_s": 0.5}}
+        )
+    )
+    got = _baseline_timings(str(tmp_path))
+    assert got["old_q"] == 1.0 and got["new_q"] == 1.5
+    assert _baseline_probe(str(tmp_path)) == 0.5
 
 
 def test_baseline_empty_dir(tmp_path):
     assert _baseline_timings(str(tmp_path)) == {}
+    assert _baseline_probe(str(tmp_path)) is None
 
 
 def test_gate_fails_run_on_regression_by_default(monkeypatch, capsys):
@@ -96,33 +144,56 @@ def test_gate_fails_run_on_regression_by_default(monkeypatch, capsys):
     monkeypatch.setattr(
         bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0, "s": 1.0}
     )
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: 1.0)
     rc = report_and_gate(
-        {"q": 5.0, "r": 1.0, "s": 1.0}, 7.0, 7.0, sf=0.1, reps=2
+        {"q": 5.0, "r": 1.0, "s": 1.0},
+        7.0,
+        7.0,
+        sf=0.1,
+        reps=2,
+        calibration={"probe_s": 1.0},
     )
     assert rc == 1
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["metric"] == "headline_suite_best_sum"
-    assert line["regressions"] == {
-        "q": {"now": 5.0, "baseline": 1.0, "drift": 1.0}
+    # q flagged per-query; the 7.0 vs 3.0 sum also trips the suite
+    # backstop — both entries present (never one hiding the other).
+    assert line["regressions"]["q"] == {
+        "now": 5.0, "baseline": 1.0, "drift": 1.0
     }
+    assert set(line["regressions"]) == {"q", "__suite__"}
+    assert line["calibration"]["raw_ratio"] == 1.0
+    assert line["calibration"]["credited_drift"] == 1.0
 
 
-def test_comparable_subset_in_report(monkeypatch, capsys):
-    """The JSON line carries the like-for-like numbers: sums restricted
-    to baseline-gated queries (suite growth must not skew round-over-
-    round comparison) plus the drift estimate."""
+def test_report_carries_calibration_and_load(monkeypatch, capsys):
+    """The artifact itself carries what adjudicates an environmental-
+    drift claim: probe seconds vs recorded baseline, the credited
+    drift, and loadavg before/after (VERDICT r03 item 1's
+    done-criterion)."""
     monkeypatch.delenv("SPARK_GRAFT_BENCH_LENIENT", raising=False)
     monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: 0.8)
     rc = report_and_gate(
-        {"q": 1.4, "r": 1.6, "new_q": 2.0}, 5.0, 5.0, sf=0.1, reps=2
+        {"q": 1.4, "r": 1.6, "new_q": 2.0},
+        5.0,
+        5.0,
+        sf=0.1,
+        reps=2,
+        calibration={"probe_s": 1.0, "probe_pre_s": 1.1, "probe_post_s": 1.0},
+        load={"loadavg_pre": [0.1, 0.2, 0.3], "loadavg_post": [30.0, 10.0, 4.0], "cpus": 32},
     )
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["calibration"]["raw_ratio"] == 1.25
+    assert line["calibration"]["credited_drift"] == 1.25
+    assert line["calibration"]["baseline_s"] == 0.8
+    assert line["load"]["loadavg_post"] == [30.0, 10.0, 4.0]
     assert line["comparable"] == {
         "queries": 2,
         "sum_now": 3.0,
         "sum_baseline": 2.0,
-        "suite_drift": 1.5,
+        "credited_drift": 1.25,
     }
 
 
@@ -130,6 +201,7 @@ def test_gate_lenient_optout_and_clean_pass(monkeypatch, capsys):
     monkeypatch.setattr(
         bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0, "s": 1.0}
     )
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
     assert (
         report_and_gate({"q": 5.0, "r": 1.0, "s": 1.0}, 7.0, 7.0, sf=0.1, reps=2)
@@ -141,3 +213,9 @@ def test_gate_lenient_optout_and_clean_pass(monkeypatch, capsys):
         == 0
     )
     capsys.readouterr()
+
+
+def test_regression_factor_and_cap_sane():
+    """The cap must sit strictly below the factor or a degraded box
+    doubles every bar (the exact hole ADVICE r03 flagged)."""
+    assert DRIFT_CAP < REGRESSION_FACTOR

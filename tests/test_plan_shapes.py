@@ -79,6 +79,31 @@ def test_dimension_filter_prunes_partitions_semantics(spark, sf_dir):
     assert "c_name" not in read_schema
 
 
+def test_ensure_min_partitions_without_rdd_probe(spark, sf_dir, monkeypatch):
+    """VERDICT r03 item 6: spreading a small scan must not convert the
+    DataFrame to an RDD at plan-build time (that forces driver-side
+    physical planning for every operator build). The decision runs on
+    file metadata alone — proven by poisoning DataFrame.rdd — and the
+    outcome is unchanged: a one-file scan spreads to the target, an
+    already-parallel input passes through untouched."""
+    from pyspark.sql import DataFrame
+
+    from evaluate_human_balance_with_spark_streaming_spark.plans.partitioning import (
+        ensure_min_partitions,
+    )
+
+    def _boom(self):
+        raise AssertionError("ensure_min_partitions converted to RDD")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    docs = load_table(spark, sf_dir, "documents")
+    spread = ensure_min_partitions(docs, 8)       # 1 file < 8 → spread
+    untouched = ensure_min_partitions(docs, 1)    # 1 file >= 1 → no-op
+    assert untouched is docs
+    monkeypatch.undo()
+    assert spread.rdd.getNumPartitions() == 8
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both fact tables on the join key lets the join run
     with ZERO exchanges — the co-located join strategy for repeated
