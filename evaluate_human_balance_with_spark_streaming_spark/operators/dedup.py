@@ -190,26 +190,34 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard via a set-similarity join.
+    """Blocked exact n-gram Jaccard via a PREFIX-FILTERED
+    set-similarity join (the standard refinement: Chaudhuri et al.'s
+    SSJoin prefix filter / ppjoin).
 
-    Candidate pairs come from an equi-join on (block, shingle) — a
-    pair materializes once PER SHARED SHINGLE, so docs with no
-    m-gram in common never meet (Jaccard 0 < threshold by contract;
-    require ``threshold > 0``). |A∩B| is the pair's row count, and
-    |A∪B| = |A|+|B|−|A∩B| from the per-doc distinct-shingle sizes
-    carried through the join. This replaces the naive within-block
-    all-pairs array_intersect form, which degenerates quadratically on
-    a big block (measured 38.5s → set-join form seconds at sf0.1,
-    where blocking on `source` leaves ~25k-doc blocks). Worst case:
-    a shingle shared by k docs in one block still fans out k² pair
-    rows — the standard refinement is prefix filtering (join only on
-    each doc's rarest-p shingles); the blocking key itself is the
-    first dial.
+    Candidate pairs come from an equi-join on (block, shingle), but
+    each doc indexes only the PREFIX of its shingle set under a global
+    rarity order — per-block document frequency ascending, shingle
+    string as tiebreak — of length ``sz − ⌈t·sz⌉ + 1``. Lossless for
+    Jaccard ≥ t: J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ ⌈t·max(|A|,|B|)⌉, so
+    the order-minimum common element w has rank ≤ |A|−⌈t|A|⌉+1 in A
+    (everything below w in A is outside A∩B) and likewise in B — w
+    sits in BOTH prefixes and the equi-join finds the pair. The
+    payoff at scale: a shingle shared by k docs in a block used to fan
+    out k² candidate rows, and the hot (high-df) shingles are exactly
+    the ones the rarity order pushes OUT of every prefix, so
+    candidate growth tracks rare-feature co-occurrence, not block
+    size (×10 dup-stress measured in SCALING.md; the un-prefixed form
+    was itself measured 38.5 s → seconds at sf0.1 vs naive all-pairs).
+    A size filter (t·|A| ≤ |B| ≤ |A|/t, implied by J ≥ t) prunes
+    candidates before verification; verification computes exact
+    Jaccard from the two full shingle arrays.
     """
+    from pyspark.sql.window import Window
+
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
-    # Persist the slim shingle-set table: both explode sides and the
-    # size lookup derive from it.
+    # Persist the slim shingle-set table: the prefix build and the
+    # pair verification both derive from it.
     sized = managed_persist(
         df.select(
             F.col(id_col),
@@ -220,23 +228,53 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), "blk", F.size("sh").alias("sz"), "sh")
     )
     ex = sized.select(F.col(id_col), "blk", "sz", F.explode("sh").alias("s"))
-    a = ex.select(
+    # Global canonical order = (per-block df, shingle) ascending:
+    # rarest first, total (shingles are distinct per block row), so
+    # every doc ranks its shingles identically — the property the
+    # prefix lemma needs. One shuffle on (blk, s) for the df counts,
+    # one on id for the per-doc ranking; both linear in corpus tokens.
+    freq = ex.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("df", "s")
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    pref = (
+        ex.join(freq, ["blk", "s"])
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col(id_col), "blk", "sz", "s")
+    )
+    a = pref.select(
         F.col(id_col).alias("id_a"), "blk", F.col("sz").alias("sa"), "s"
     )
-    b = ex.select(
+    b = pref.select(
         F.col(id_col).alias("id_b"), "blk", F.col("sz").alias("sb"), "s"
     )
-    inter = (
+    cand = (
         a.join(b, ["blk", "s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "sa", "sb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        # Size filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|.
+        .filter(
+            (F.col("sb") >= threshold * F.col("sa"))
+            & (F.col("sa") >= threshold * F.col("sb"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.col("inter").cast("double") / (
-        F.col("sa") + F.col("sb") - F.col("inter")
+    # Verify on full shingle arrays, candidates only.
+    sh_tbl = sized.select(F.col(id_col), F.col("sh"))
+    pairs = cand.join(
+        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
     )
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

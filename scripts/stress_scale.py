@@ -83,6 +83,22 @@ def wl_minhash_lsh(spark, sf_dir, k):
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id")
 
 
+def wl_ngram_jaccard(spark, sf_dir, k):
+    """Prefix-filtered set-similarity join on the dup-heavy corpus:
+    K× docs, each original with K-1 salted near-dup mirrors sharing
+    almost all shingles — candidate pairs inside a mirror family are
+    genuinely ~K², but the prefix filter must keep the CANDIDATE
+    join's fan-out tracking rare-shingle co-occurrence instead of
+    block size (the un-prefixed form fanned out k² rows per shingle
+    shared by k docs in a block)."""
+    docs = replicated(
+        load_table(spark, sf_dir, "documents"), k, id_cols=("doc_id",), salt_col="text"
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "source", shingle_n=2, threshold=0.3
+    )
+
+
 def wl_simhash_pairs(spark, sf_dir, k):
     """SimHash hamming-banded pairs on the same dup-heavy corpus."""
     docs = replicated(
@@ -149,6 +165,7 @@ WORKLOADS = [
     ("lineitem_pricing", wl_lineitem_pricing),
     ("exact_dedup", wl_exact_dedup),
     ("minhash_lsh", wl_minhash_lsh),
+    ("ngram_jaccard", wl_ngram_jaccard),
     ("simhash_pairs", wl_simhash_pairs),
     ("cc_clusters", wl_cc_clusters),
     ("ann_ivf", wl_ann_ivf),

@@ -257,3 +257,59 @@ def test_ppm_codec_roundtrip_and_junk_rejection(images, junk):
         # Well-formed by chance: the decode must be internally
         # consistent (pixel plane length matches a re-encode parse).
         assert isinstance(out, bytes)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from("abcdefgh"), min_size=2, max_size=8
+            ).map(" ".join),
+            st.sampled_from(["blk1", "blk2"]),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_ngram_jaccard_prefix_filter_is_lossless(spark, docs):
+    """The prefix-filtered set-similarity join must return EXACTLY the
+    pairs a brute-force all-pairs-within-block Jaccard finds, for ANY
+    random corpus — the prefix lemma (index only the rarest
+    sz−⌈t·sz⌉+1 shingles per doc) loses no pair at or above the
+    threshold. A tiny word alphabet forces heavy shingle collisions,
+    the regime where a buggy prefix length would actually drop pairs."""
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    t = 0.3
+    rows = [(i, text, blk) for i, (text, blk) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", "source", shingle_n=2, threshold=t
+        ).collect()
+    }
+
+    def shingles(text: str) -> set[str]:
+        import re
+
+        w = re.split(r"\s+", text.strip())
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    expect = {}
+    for i, (ti, bi) in enumerate(docs):
+        for j, (tj, bj) in enumerate(docs):
+            if i >= j or bi != bj:
+                continue
+            si, sj = shingles(ti), shingles(tj)
+            if not si or not sj:
+                continue
+            jac = round(len(si & sj) / len(si | sj), 6)
+            if jac >= t:
+                expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for pair, jac in expect.items():
+        assert abs(got[pair] - jac) < 1e-6
