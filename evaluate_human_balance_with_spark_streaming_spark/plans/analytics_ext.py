@@ -540,15 +540,21 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor list. A serving-shape top-k per user would union both
     pair orientations first; ann_bruteforce_topk is that shape.
 
-    Scale caveat, stated honestly: the day key is low-cardinality
-    (~30 here), so parallelism within the pair join caps at the number
-    of distinct days and a popular day is a hot partition. The
-    scale-out refinements, in order: (1) finer time grain (hour) when
-    activity allows; (2) grid-block the self-join — bucket users into
-    √P hash buckets and join (day, bucket_i) × (day, bucket_j) for
-    i ≤ j, which spreads each day over P reducers at ~2× replication
-    (the standard triangle/blocked self-join); (3) AQE skew-join
-    splitting (enabled) for residual imbalance."""
+    The day key is low-cardinality (~30 here), so a naive self-join on
+    day alone caps parallelism at the number of distinct days and a
+    popular day is one hot partition. The pair join is therefore
+    GRID-BLOCKED (the standard triangle/blocked self-join): users hash
+    into B buckets, every profile row is replicated to the B grid
+    cells (i ≤ j) whose coordinates contain its bucket, and the join
+    runs on (day, cell_i, cell_j) — each day spreads over
+    B(B+1)/2 reducers at B× replication of the slim profile rows.
+    A pair (u, v) with buckets bu ≠ bv shares exactly one cell
+    (min(bu,bv), max(bu,bv)); same-bucket pairs would meet in all B of
+    their common cells, so the diagonal is deduplicated by keeping
+    only the (bu, bu) cell meeting. Compare work stays ~n²/day (the
+    blocking redistributes, it doesn't prune); AQE skew-join covers
+    residual imbalance; the finer refinement when activity allows is
+    an hourly grain."""
     from pyspark.sql.window import Window
 
     from ..caching import managed_persist
@@ -564,11 +570,38 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     norms = ud.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm"))
-    a = ud.select(F.col("user_id").alias("user_a"), "day", F.col("n").alias("na"))
-    b = ud.select(F.col("user_id").alias("user_b"), "day", F.col("n").alias("nb"))
+    B = 8  # user-hash buckets → B(B+1)/2 = 36 cells per day
+    grid = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("g")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int")
+
+    def gridded(side: str) -> DataFrame:
+        return ud.select(
+            F.col("user_id").alias(f"user_{side}"),
+            "day",
+            F.col("n").alias(f"n{side}"),
+            bucket.alias(f"b{side}"),
+        ).select(
+            "*",
+            grid,
+        ).select(
+            f"user_{side}",
+            "day",
+            f"n{side}",
+            f"b{side}",
+            F.least(f"b{side}", "g").alias("ci"),
+            F.greatest(f"b{side}", "g").alias("cj"),
+        )
+
     dots = (
-        a.join(b, "day")
+        gridded("a")
+        .join(gridded("b"), ["day", "ci", "cj"])
         .filter(F.col("user_a") < F.col("user_b"))
+        # Diagonal dedup: same-bucket pairs meet in every cell that
+        # contains their shared bucket — count only the (b, b) cell.
+        .filter(
+            (F.col("ba") != F.col("bb"))
+            | ((F.col("ci") == F.col("ba")) & (F.col("cj") == F.col("ba")))
+        )
         .groupBy("user_a", "user_b")
         .agg(F.sum(F.col("na") * F.col("nb")).alias("dot"))
     )

@@ -104,6 +104,34 @@ def test_ensure_min_partitions_without_rdd_probe(spark, sf_dir, monkeypatch):
     assert spread.rdd.getNumPartitions() == 8
 
 
+def test_user_similarity_pair_join_is_grid_blocked(spark, sf_dir):
+    """VERDICT r03 item 4: the time-series-similarity self-join must
+    not partition on the low-cardinality day key alone (parallelism
+    would cap at ~30 distinct days and a popular day is one hot
+    partition). The pair join's exchanges must carry the grid-cell
+    columns next to day — B(B+1)/2 reducers per day. Auto-broadcast
+    is disabled to surface the shuffle keys the join requires at
+    scale (at test scale one grid side is broadcast-sized)."""
+    from evaluate_human_balance_with_spark_streaming_spark.plans.analytics_ext import (
+        q_user_activity_similarity,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(q_user_activity_similarity(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    grid_exchanges = re.findall(
+        r"hashpartitioning\(day#\d+, ci#\d+, cj#\d+", plan
+    )
+    assert len(grid_exchanges) >= 2  # both pair-join sides
+    # And no exchange partitions on day alone.
+    assert not re.search(r"hashpartitioning\(day#\d+, \d+\)", plan)
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both fact tables on the join key lets the join run
     with ZERO exchanges — the co-located join strategy for repeated
