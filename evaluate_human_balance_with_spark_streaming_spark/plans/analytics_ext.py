@@ -554,7 +554,11 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the (bu, bu) cell meeting. Compare work stays ~n²/day (the
     blocking redistributes, it doesn't prune); AQE skew-join covers
     residual imbalance; the finer refinement when activity allows is
-    an hourly grain."""
+    an hourly grain. Measured cost of the redistribution at sf0.1:
+    ~5.0 s warm vs ~2.3 s for the day-only join — the B× replication
+    of slim profile rows is the price, paid back as soon as the
+    per-day row count exceeds what one reducer should hold (the
+    100 TB regime this query is written for)."""
     from pyspark.sql.window import Window
 
     from ..caching import managed_persist
