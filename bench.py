@@ -50,6 +50,7 @@ HEADLINE = [
     "stream_flagship_join",
     "stream_flagship_join_watermarked",
     "stream_dedup_within_watermark",
+    "stream_session_quality",
 ]
 
 # Per-query regression gate: compare against the recorded baseline and

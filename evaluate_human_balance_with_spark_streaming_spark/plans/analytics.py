@@ -232,31 +232,27 @@ def q_risk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_windowed_quality",
-    oracle="""
-        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
-               event_type,
-               COUNT(*) AS n_events,
-               ROUND(SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 6) AS avg_value,
-               COUNT(DISTINCT user_id) AS n_users
-        FROM events
-        GROUP BY 1, 2
-    """,
-    tags=("agg", "window", "phase3"),
-)
 def q_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The intent of the reference's empty risk-quality stub
     (sparkpyoptionalriskquality.py:1-3): tumbling event-time windows ×
     event type. Calls streaming/aggregates.py::windowed_quality — the
     IDENTICAL code that runs streaming with a watermark — plus an
-    exact countDistinct via its extra_aggs hook."""
+    exact countDistinct via its extra_aggs hook.
+
+    UNREGISTERED as of round 4 (registry holds a hard 50-query cap —
+    see plans/registry.py): the operator itself is driver-certified
+    through `stream_windowed_quality`, which runs the same
+    windowed_quality code on the real streaming path against the same
+    relational oracle; the freed row funds `stream_session_quality`
+    (VERDICT r03 item 5). The extra_aggs hook + exact countDistinct
+    this batch twin adds stays covered by
+    tests/test_streaming.py (batch-twin equivalence) and this
+    function remains the batch entry point."""
     from ..streaming.aggregates import windowed_quality
 
     e = load_table(spark, sf_dir, "events")
     # THE streaming operator, not a re-implementation (extra_aggs adds
-    # the exact distinct count that only batch can afford) — so this
-    # oracle certifies the code the stream runs.
+    # the exact distinct count that only batch can afford).
     return windowed_quality(
         e, extra_aggs=(F.countDistinct("user_id").alias("n_users"),)
     )

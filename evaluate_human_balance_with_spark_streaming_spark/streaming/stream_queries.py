@@ -85,6 +85,7 @@ def prematerialize_wires(spark: SparkSession, sf_dir: str) -> None:
     # variant reads all 4 — no second full materialization.
     slim_ts = events.select("event_id", "user_id", "event_type", "ts")
     _materialize(slim_ts.union(slim_ts), f"dup-ts@{sf_dir}", 6)
+    _session_wire(spark, sf_dir)
 
 
 def _materialize_wire_stream(
@@ -222,6 +223,112 @@ def q_stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = windowed_quality(stream, ts_col="ts", window_size="1 day")
     return run_to_memory(spark, agg, output_mode="complete")
+
+
+def _session_wire(spark: SparkSession, sf_dir: str) -> str:
+    """Wire dir for the streaming sessionization replay: the slim
+    (user_id, ts) event feed as 4 parquet files, plus a SENTINEL event
+    (user_id −1, event time 400 days past the feed's max) appended as
+    a 5th file with a strictly later modification time. The file
+    stream processes files in mtime order, so the sentinel lands in
+    the final micro-batch and advances the watermark past every real
+    session's end + gap — the production "flush/punctuation event"
+    pattern that closes idle sessions so APPEND mode can emit them.
+    The sentinel's own session can never close (the watermark trails
+    it by the full delay), so it never reaches the sink."""
+    from ..sources.testdata import load_table
+
+    key = (f"session@{sf_dir}", 5)
+    if key not in _WIRE_CACHE:
+        path = os.path.join(tempfile.mkdtemp(prefix="ehb-stream-session-"), "data")
+        events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        events.repartition(4).write.mode("overwrite").parquet(path)
+        sentinel = events.groupBy().agg(
+            F.lit(-1).cast("bigint").alias("user_id"),
+            (F.max("ts") + F.expr("INTERVAL 400 DAYS")).alias("ts"),
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(path)
+        _WIRE_CACHE[key] = path
+    return _WIRE_CACHE[key]
+
+
+@register(
+    "stream_session_quality",
+    # Same relational derivation as the batch twin
+    # (plans/analytics_ext.py::q_session_window_stats): gap
+    # sessionization via LAG + running sum — a new session starts iff
+    # the inactivity gap is >= 1 hour. The stream must reproduce it
+    # exactly through session_window merge semantics + watermark
+    # eviction; the sentinel is invisible here because it exists only
+    # on the wire, not in the events table.
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) >= 3600
+                        THEN 1 ELSE 0 END AS new_session
+            FROM seq
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session-window", "watermark"),
+)
+def q_stream_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session_window aggregate in APPEND mode with real
+    state eviction — the sessionized realization of the reference's
+    risk-quality stub (sparkpyoptionalriskquality.py:1-3) on the
+    streaming path the reference actually ran. Event-time sessions
+    (1h inactivity gap) per user over a multi-batch replay arriving in
+    RANDOM time order (the wire files are hash-partitioned, so micro-
+    batches interleave early and late events — session state genuinely
+    merges windows across batches); the 90-day watermark exceeds the
+    feed's 30-day span, so nothing is dropped as late, and the
+    sentinel flush event (see _session_wire) advances the watermark at
+    end-of-replay so every real session finalizes and APPENDS. Tight-
+    watermark eviction mid-stream is pinned separately by
+    tests/test_streaming.py::test_streaming_session_window_emits_closed_session."""
+    path = _session_wire(spark, sf_dir)
+    stream = stream_parquet_dir(
+        spark,
+        path,
+        StructType.fromDDL("user_id bigint, ts timestamp"),
+        max_files_per_trigger=2,
+    )
+    sessions = (
+        stream.withWatermark("ts", "90 days")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        # Deliberately NO user_id filter against the sentinel: Catalyst
+        # pushes a grouping-column predicate below the watermark node
+        # to the scan, which drops the sentinel BEFORE the event-time
+        # tracker and freezes the watermark (measured: 0 rows emit).
+        # The sentinel cannot leak anyway — its session end trails the
+        # watermark by the full delay, so it never finalizes; a wire or
+        # delay change that broke that would surface as a hash
+        # mismatch (phantom user −1 row) in the driver compare.
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(spark, sessions, output_mode="append")
 
 
 @register(

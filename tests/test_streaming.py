@@ -107,15 +107,35 @@ def test_stream_stream_join_accumulates_state_across_batches(spark):
 
 
 def test_windowed_aggregate_streaming_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
         load_table,
     )
 
-    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
     batch = {
         (r.window_day, r.event_type): (r.n_events, r.avg_value)
         for r in windowed_quality(events, "ts", "1 day").collect()
     }
+    # The extra_aggs hook (the batch twin's exact countDistinct — the
+    # aggregate streaming state cannot afford) extends, never alters,
+    # the shared aggregates. Since r04 this is the hook's oracle:
+    # q_windowed_quality is unregistered (50-row registry cap funds
+    # stream_session_quality), so the equivalence is pinned here.
+    extra = {
+        (r.window_day, r.event_type): (r.n_events, r.avg_value, r.n_users)
+        for r in windowed_quality(
+            events,
+            "ts",
+            "1 day",
+            extra_aggs=(F.countDistinct("user_id").alias("n_users"),),
+        ).collect()
+    }
+    assert {k: v[:2] for k, v in extra.items()} == batch
+    assert all(v[2] >= 1 for v in extra.values())
 
     path = os.path.join(tempfile.mkdtemp(prefix="ehb-test-win-"), "data")
     events.repartition(3).write.mode("overwrite").parquet(path)
@@ -420,3 +440,40 @@ def test_watermarked_flagship_plans_state_eviction(spark, sf_dir):
     # assert the streaming run also produces the in-band rows only.
     out = run_to_memory(spark, joined, output_mode="append")
     assert out.count() > 0
+
+
+def test_stream_session_quality_matches_batch_and_sentinel_never_leaks(spark):
+    """The sentinel-flush replay (stream_session_quality): APPEND-mode
+    streaming session_window over the multi-batch random-order replay
+    must equal the batch session_window over the same events, and the
+    wire's flush sentinel (user −1, whose session can never finalize —
+    the watermark trails it by the full delay) must not leak a row.
+    Also pins the pushdown trap: there is deliberately no sentinel
+    filter in the plan (a grouping-column predicate pushes below the
+    watermark node and freezes the watermark — measured 0 rows)."""
+    from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+        load_table,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
+        q_stream_session_quality,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        (r.user_id, r.session_start): r.n_events
+        for r in q_stream_session_quality(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert streamed == batch
+    assert all(uid >= 0 for uid, _ in streamed)
