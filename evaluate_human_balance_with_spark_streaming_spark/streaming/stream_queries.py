@@ -247,7 +247,19 @@ def _session_wire(spark: SparkSession, sf_dir: str) -> str:
             F.lit(-1).cast("bigint").alias("user_id"),
             (F.max("ts") + F.expr("INTERVAL 400 DAYS")).alias("ts"),
         )
+        before = {f for f in os.listdir(path) if f.startswith("part")}
         sentinel.coalesce(1).write.mode("append").parquet(path)
+        # The file source orders files by modification time; the two
+        # writes normally land milliseconds apart, but make the
+        # ordering DETERMINISTIC rather than probabilistic — bump the
+        # sentinel file a full minute forward so it can never tie with
+        # (or precede) a main file and jump the watermark mid-replay.
+        now = max(
+            os.path.getmtime(os.path.join(path, f)) for f in before
+        )
+        for f in os.listdir(path):
+            if f.startswith("part") and f not in before:
+                os.utime(os.path.join(path, f), (now + 60, now + 60))
         _WIRE_CACHE[key] = path
     return _WIRE_CACHE[key]
 
