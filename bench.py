@@ -451,7 +451,7 @@ def report_and_gate(
         if name == "__suite__":
             print(
                 f"# REGRESSION suite-wide: gated sum {r['now']}s vs "
-                f"baseline {r['baseline']}s (>{REGRESSION_FACTOR}x after "
+                f"baseline {r['baseline']}s (>{SUITE_FACTOR}x after "
                 f"{r['drift']}x credited drift)",
                 file=sys.stderr,
             )

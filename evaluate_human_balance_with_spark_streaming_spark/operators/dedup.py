@@ -211,6 +211,18 @@ def ngram_jaccard_pairs(
     A size filter (t·|A| ≤ |B| ≤ |A|/t, implied by J ≥ t) prunes
     candidates before verification; verification computes exact
     Jaccard from the two full shingle arrays.
+
+    Pruning runs at a SLACKENED threshold t−1e-6 (plus a 1e-9 nudge
+    inside the ceil): the verifier accepts round(J, 6) ≥ t — true
+    Jaccard down to t−5e-7 — and IEEE doubles can round t·sz just
+    above the true product (0.55·100 = 55.00000000000001, whose
+    un-nudged ceil shortened the prefix by one and silently dropped a
+    J=0.55 pair at t=0.55; same boundary killed it in the size
+    filter). The slack only ADDS candidates — at most one prefix slot
+    per doc — and the exact verification keeps the output identical,
+    so losslessness holds for every pair the verifier would accept
+    (pinned by tests/test_operators.py::test_ngram_jaccard_float_boundary
+    and the t∈{0.3, 0.55} property fuzz).
     """
     from pyspark.sql.window import Window
 
@@ -237,7 +249,10 @@ def ngram_jaccard_pairs(
     rn = F.row_number().over(
         Window.partitionBy(id_col).orderBy("df", "s")
     )
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    t_eff = threshold - 1e-6  # pruning slack; see docstring
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)) + 1
+    )
     pref = (
         ex.join(freq, ["blk", "s"])
         .withColumn("rn", rn)
@@ -253,10 +268,12 @@ def ngram_jaccard_pairs(
     cand = (
         a.join(b, ["blk", "s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # Size filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|.
+        # Size filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A| —
+        # applied at the slackened bound so a float-rounded product
+        # never prunes a pair the verifier would accept.
         .filter(
-            (F.col("sb") >= threshold * F.col("sa"))
-            & (F.col("sa") >= threshold * F.col("sb"))
+            (F.col("sb") >= t_eff * F.col("sa") - 1e-9)
+            & (F.col("sa") >= t_eff * F.col("sb") - 1e-9)
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

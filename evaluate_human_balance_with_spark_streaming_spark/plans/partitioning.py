@@ -10,8 +10,31 @@ helpers spread such stages without penalizing already-parallel inputs.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
+
+# Logical operators whose presence means the plan's output partitioning
+# is governed by spark.sql.shuffle.partitions (or an explicit
+# repartition), NOT by the scan's file layout — the file-count estimate
+# below is meaningless for such plans and repartitioning them again is
+# a pure extra shuffle. Matched as node names at line starts in the
+# ANALYZED plan (analysis is already forced by inputFiles(); physical
+# planning still never runs here).
+_SHUFFLE_NODES = re.compile(
+    r"^[\s+:-]*(Aggregate|Join|Window|Sort|Repartition(ByExpression)?|"
+    r"Deduplicate|Except|Intersect|CoGroup|FlatMapGroups)\b",
+    re.M,
+)
+
+
+def _has_shuffle_operator(df: DataFrame) -> bool:
+    try:
+        return bool(_SHUFFLE_NODES.search(str(df._jdf.queryExecution().analyzed())))
+    except Exception:
+        # Can't inspect → assume shuffled, which makes the helper a
+        # no-op: never add a shuffle on uncertain evidence.
+        return True
 
 # Mirrors the spark.sql.files.maxPartitionBytes default (128 MB): used
 # only to ESTIMATE how many scan tasks large files will split into, so
@@ -36,6 +59,10 @@ def _estimated_scan_parallelism(df: DataFrame) -> int | None:
     except Exception:
         return None
     if not files:
+        # No file scan in the plan (in-memory/createDataFrame input):
+        # nothing to estimate. NB inputFiles() does NOT distinguish a
+        # bare scan from a post-shuffle plan — it walks to the leaf
+        # relations either way; _has_shuffle_operator covers that case.
         return None
     est = len(files)
     for f in files:
@@ -49,14 +76,20 @@ def _estimated_scan_parallelism(df: DataFrame) -> int | None:
 
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition up to ``min_partitions`` (default: the
-    session's default parallelism) iff the DataFrame's file scan would
-    produce fewer tasks. No-op — no added shuffle — when the input is
-    already at least that parallel, so it is safe to leave in scale
-    paths. The check is plan-build-light: file metadata, never an RDD
-    conversion (asserted by tests/test_plan_shapes.py)."""
+    session's default parallelism) iff the DataFrame is a narrow
+    pipeline over a file scan that would produce fewer tasks. No-op —
+    no added shuffle — when the scan is already at least that
+    parallel, when the plan contains a shuffle-producing operator
+    (its width is then set by spark.sql.shuffle.partitions, which the
+    file estimate cannot see), or when there is no file scan to
+    estimate (in-memory inputs arrive pre-spread at the session's
+    parallelism). Safe to leave in scale paths. The check is
+    plan-build-light: file metadata + the already-analyzed logical
+    plan, never an RDD conversion or physical planning (asserted by
+    tests/test_plan_shapes.py)."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     est = _estimated_scan_parallelism(df)
-    if est is None or est < target:
+    if est is not None and est < target and not _has_shuffle_operator(df):
         return df.repartition(target)
     return df

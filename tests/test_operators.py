@@ -95,6 +95,24 @@ def test_ngram_jaccard_respects_blocking(spark):
     assert ngram_jaccard_pairs(df, "text", "doc_id", "source", 2, 0.1).count() == 0
 
 
+def test_ngram_jaccard_float_boundary(spark):
+    """t=0.55, |A|=100 bigrams, B ⊂ A with |B|=55 → J = 0.55 exactly.
+    IEEE doubles give 0.55*100 = 55.00000000000001: the un-slackened
+    ceil shortened A's prefix to 45 (the 45 A-only shingles rank first
+    under df-ascending order, so no SHARED shingle made A's prefix)
+    and the size filter compared 55 >= 55.00000000000001 — both pruned
+    the pair before verification ever saw it. The slackened bounds
+    must keep it."""
+    words = [f"w{i:03d}" for i in range(101)]
+    df = docs_df(
+        spark, [(0, " ".join(words), "b"), (1, " ".join(words[:56]), "b")]
+    )
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", "source", shingle_n=2, threshold=0.55
+    ).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(0, 1, 0.55)]
+
+
 def test_cosine_similarity_known_values(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])],

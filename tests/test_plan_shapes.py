@@ -100,6 +100,15 @@ def test_ensure_min_partitions_without_rdd_probe(spark, sf_dir, monkeypatch):
     spread = ensure_min_partitions(docs, 8)       # 1 file < 8 → spread
     untouched = ensure_min_partitions(docs, 1)    # 1 file >= 1 → no-op
     assert untouched is docs
+    # A post-shuffle plan must pass through untouched even though
+    # inputFiles() still reports the one leaf file (the aggregate's
+    # width is set by spark.sql.shuffle.partitions, which the file
+    # estimate cannot see) — and likewise an in-memory input with no
+    # file scan at all: neither earns an extra round-robin shuffle.
+    agged = docs.groupBy("source").count()
+    assert ensure_min_partitions(agged, 8) is agged
+    inmem = spark.createDataFrame([(1,), (2,)], "x int")
+    assert ensure_min_partitions(inmem, 8) is inmem
     monkeypatch.undo()
     assert spread.rdd.getNumPartitions() == 8
 

@@ -269,21 +269,23 @@ def test_ppm_codec_roundtrip_and_junk_rejection(images, junk):
         ),
         min_size=2,
         max_size=8,
-    )
+    ),
+    t=st.sampled_from([0.3, 0.55, 0.5]),
 )
 @_SETTINGS
-def test_ngram_jaccard_prefix_filter_is_lossless(spark, docs):
+def test_ngram_jaccard_prefix_filter_is_lossless(spark, docs, t):
     """The prefix-filtered set-similarity join must return EXACTLY the
     pairs a brute-force all-pairs-within-block Jaccard finds, for ANY
     random corpus — the prefix lemma (index only the rarest
     sz−⌈t·sz⌉+1 shingles per doc) loses no pair at or above the
     threshold. A tiny word alphabet forces heavy shingle collisions,
-    the regime where a buggy prefix length would actually drop pairs."""
+    the regime where a buggy prefix length would actually drop pairs;
+    t=0.55 is the float-hostile threshold whose products round above
+    integers (the sz=100 boundary has its own deterministic pin in
+    test_operators.py — doc sizes here are too small to reach it)."""
     from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
-
-    t = 0.3
     rows = [(i, text, blk) for i, (text, blk) in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {

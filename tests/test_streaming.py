@@ -124,7 +124,10 @@ def test_windowed_aggregate_streaming_matches_batch(spark, sf_dir):
     # aggregate streaming state cannot afford) extends, never alters,
     # the shared aggregates. Since r04 this is the hook's oracle:
     # q_windowed_quality is unregistered (50-row registry cap funds
-    # stream_session_quality), so the equivalence is pinned here.
+    # stream_session_quality), so the equivalence is pinned here —
+    # n_users VALUES included, against an independently-expressed
+    # reference (distinct rows → count, date_trunc instead of window;
+    # a `>= 1` sanity bound would let a miswired countDistinct ship).
     extra = {
         (r.window_day, r.event_type): (r.n_events, r.avg_value, r.n_users)
         for r in windowed_quality(
@@ -135,7 +138,19 @@ def test_windowed_aggregate_streaming_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert {k: v[:2] for k, v in extra.items()} == batch
-    assert all(v[2] >= 1 for v in extra.values())
+    expected_users = {
+        (r.d, r.event_type): r.n
+        for r in events.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+            "event_type",
+            "user_id",
+        )
+        .distinct()
+        .groupBy("d", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {k: v[2] for k, v in extra.items()} == expected_users
 
     path = os.path.join(tempfile.mkdtemp(prefix="ehb-test-win-"), "data")
     events.repartition(3).write.mode("overwrite").parquet(path)
@@ -442,7 +457,9 @@ def test_watermarked_flagship_plans_state_eviction(spark, sf_dir):
     assert out.count() > 0
 
 
-def test_stream_session_quality_matches_batch_and_sentinel_never_leaks(spark):
+def test_stream_session_quality_matches_batch_and_sentinel_never_leaks(
+    spark, sf_dir
+):
     """The sentinel-flush replay (stream_session_quality): APPEND-mode
     streaming session_window over the multi-batch random-order replay
     must equal the batch session_window over the same events, and the
@@ -458,7 +475,6 @@ def test_stream_session_quality_matches_batch_and_sentinel_never_leaks(spark):
         q_stream_session_quality,
     )
 
-    sf_dir = "/root/testdata/sf0.001"
     streamed = {
         (r.user_id, r.session_start): r.n_events
         for r in q_stream_session_quality(spark, sf_dir).collect()
