@@ -559,11 +559,21 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of slim profile rows is the price, paid back as soon as the
     per-day row count exceeds what one reducer should hold (the
     100 TB regime this query is written for)."""
+    return user_activity_similarity(load_table(spark, sf_dir, "events"))
+
+
+def user_activity_similarity(
+    e: DataFrame, buckets: int = 8, top_k: int = 5
+) -> DataFrame:
+    """The q_user_activity_similarity pipeline over a caller-supplied
+    events frame (user_id, ts) — the seam the hypothesis property test
+    drives with random corpora (tests/test_property_fuzz.py pins the
+    grid-blocked pair join against a brute-force cosine top-k
+    reference). Semantics documented on the registered query above."""
     from pyspark.sql.window import Window
 
     from ..caching import managed_persist
 
-    e = load_table(spark, sf_dir, "events")
     # Persist the slim (user, day, n) profile table: it feeds BOTH
     # sides of the day self-join plus the norm aggregate, and without
     # the barrier the events scan+aggregate runs three times (measured
@@ -574,7 +584,7 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     norms = ud.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm"))
-    B = 8  # user-hash buckets → B(B+1)/2 = 36 cells per day
+    B = buckets  # user-hash buckets → B(B+1)/2 cells per day (36 at 8)
     grid = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("g")
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int")
 
@@ -623,7 +633,7 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_a").orderBy(F.col("cosine").desc(), F.col("user_b").asc())
     return (
         sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= top_k)
         .select("user_a", "user_b", "cosine")
     )
 

@@ -315,3 +315,67 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark, docs, t):
     assert set(got) == set(expect)
     for pair, jac in expect.items():
         assert abs(got[pair] - jac) < 1e-6
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 4)),  # (user, day)
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.sampled_from([1, 2, 3, 8]),
+)
+@_SETTINGS
+def test_grid_blocked_similarity_matches_bruteforce(spark, events, buckets):
+    """The grid-blocked pair self-join (r04: q_user_activity_similarity
+    spreads each day over B(B+1)/2 cells at B× replication) must give
+    EXACTLY the brute-force sparse-cosine top-k for ANY corpus and ANY
+    bucket count — every cross-bucket pair meets in exactly one cell,
+    and the diagonal dedup keeps same-bucket pairs exactly once.
+    user∈0..7 with day∈0..4 forces heavy same-day collisions and, at
+    small B, plenty of same-bucket pairs (B=1 puts EVERY pair on the
+    diagonal). Rounding in the reference mirrors Spark's HALF_UP on
+    the shortest-repr decimal (BigDecimal.valueOf semantics)."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    from datetime import datetime
+    import math
+
+    from evaluate_human_balance_with_spark_streaming_spark.plans.analytics_ext import (
+        user_activity_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [(u, datetime(2024, 1, d + 1, 12, 0, 0)) for u, d in events],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.user_a, r.user_b): r.cosine
+        for r in user_activity_similarity(df, buckets=buckets, top_k=2).collect()
+    }
+
+    prof: dict[int, Counter] = {}
+    for u, d in events:
+        prof.setdefault(u, Counter())[d] += 1
+    sims: dict[int, list] = {}
+    users = sorted(prof)
+    for a in users:
+        for b in users:
+            if a >= b:
+                continue
+            dot = sum(prof[a][d] * prof[b][d] for d in prof[a] if d in prof[b])
+            if dot == 0:  # no shared day → no join row → absent
+                continue
+            na = math.sqrt(sum(n * n for n in prof[a].values()))
+            nb = math.sqrt(sum(n * n for n in prof[b].values()))
+            cos = float(
+                Decimal(repr(dot / (na * nb))).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            )
+            sims.setdefault(a, []).append((-cos, b))
+    expect = {}
+    for a, lst in sims.items():
+        for negcos, b in sorted(lst)[:2]:
+            expect[(a, b)] = -negcos
+    assert got == expect
