@@ -222,7 +222,7 @@ def ngram_jaccard_pairs(
     per doc — and the exact verification keeps the output identical,
     so losslessness holds for every pair the verifier would accept
     (pinned by tests/test_operators.py::test_ngram_jaccard_float_boundary
-    and the t∈{0.3, 0.55} property fuzz).
+    and the t∈{0.3, 0.5, 0.55} property fuzz).
     """
     from pyspark.sql.window import Window
 

@@ -15,15 +15,27 @@ import re
 from pyspark.sql import DataFrame
 
 # Logical operators whose presence means the plan's output partitioning
-# is governed by spark.sql.shuffle.partitions (or an explicit
-# repartition), NOT by the scan's file layout — the file-count estimate
+# is (usually) governed by spark.sql.shuffle.partitions or an explicit
+# repartition, NOT by the scan's file layout — the file-count estimate
 # below is meaningless for such plans and repartitioning them again is
-# a pure extra shuffle. Matched as node names at line starts in the
-# ANALYZED plan (analysis is already forced by inputFiles(); physical
-# planning still never runs here).
+# a pure extra shuffle. Matched as node-name STEMS at line starts in
+# the ANALYZED plan (analysis is already forced by inputFiles();
+# physical planning still never runs here) — deliberately no trailing
+# \b so the stems cover the suffixed node names Spark actually prints:
+# RepartitionByExpression, FlatMapGroupsInPandas,
+# FlatMapCoGroupsInPandas, WindowGroupLimit.
+#
+# Known over-conservatism: a logical Join that the planner will
+# BROADCAST does not shuffle the stream side, so a 1-partition scan
+# broadcast-joined to a dim stays narrow and this helper declines to
+# spread it. Whether a join broadcasts is a PHYSICAL decision this
+# plan-build-light check cannot see; the helper's contract on
+# uncertain evidence is "never add a shuffle", so callers doing
+# CPU-heavy work on a scan⋈broadcast-dim pipeline should spread the
+# scan BEFORE the join (every in-repo caller feeds bare scans).
 _SHUFFLE_NODES = re.compile(
-    r"^[\s+:-]*(Aggregate|Join|Window|Sort|Repartition(ByExpression)?|"
-    r"Deduplicate|Except|Intersect|CoGroup|FlatMapGroups)\b",
+    r"^[\s+:-]*(Aggregate|Join|Window|Sort|Repartition|Deduplicate|"
+    r"Distinct|Except|Intersect|CoGroup|FlatMapGroups|MapGroups)",
     re.M,
 )
 
@@ -32,8 +44,20 @@ def _has_shuffle_operator(df: DataFrame) -> bool:
     try:
         return bool(_SHUFFLE_NODES.search(str(df._jdf.queryExecution().analyzed())))
     except Exception:
-        # Can't inspect → assume shuffled, which makes the helper a
-        # no-op: never add a shuffle on uncertain evidence.
+        # Can't inspect (e.g. Spark Connect has no _jdf) → assume
+        # shuffled, which makes the helper a no-op: never add a
+        # shuffle on uncertain evidence. Loud, not silent — callers
+        # relying on the spread (minhash's one-core hot-loop case)
+        # should know it is disabled on this session type.
+        import warnings
+
+        warnings.warn(
+            "ensure_min_partitions: cannot inspect the analyzed plan on "
+            "this session type; scan-spreading is disabled (treating the "
+            "plan as already shuffled)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
         return True
 
 # Mirrors the spark.sql.files.maxPartitionBytes default (128 MB): used

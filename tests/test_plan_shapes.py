@@ -109,6 +109,16 @@ def test_ensure_min_partitions_without_rdd_probe(spark, sf_dir, monkeypatch):
     assert ensure_min_partitions(agged, 8) is agged
     inmem = spark.createDataFrame([(1,), (2,)], "x int")
     assert ensure_min_partitions(inmem, 8) is inmem
+    # Node names Spark prints with suffixes the first regex cut missed
+    # (review finding): SELECT DISTINCT analyzes to `Distinct`, and
+    # applyInPandas to `FlatMapGroupsInPandas` — both group-key
+    # shuffles that must not earn a stacked round-robin repartition.
+    dist = docs.select("source").distinct()
+    assert ensure_min_partitions(dist, 8) is dist
+    aip = docs.groupBy("source").applyInPandas(
+        lambda pdf: pdf[["doc_id"]], schema="doc_id long"
+    )
+    assert ensure_min_partitions(aip, 8) is aip
     monkeypatch.undo()
     assert spread.rdd.getNumPartitions() == 8
 
