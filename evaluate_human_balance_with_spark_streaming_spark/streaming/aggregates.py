@@ -63,11 +63,19 @@ def risk_score_per_customer(
 ) -> DataFrame:
     """Per-customer running risk aggregate, gated on ≥N assessments
     (README.md:96: scores appear after four tests). On a stream this is
-    a complete/update-mode aggregate; state is one row per customer."""
+    a complete/update-mode aggregate; state is one row per customer.
+
+    ``n_assessments`` counts NON-NULL scores — the same definition as
+    the stateful twin (stateful.py::running_risk_state) and the
+    COUNT(value) oracle that certifies it. A malformed payload parses
+    to a null score (parse_risk_events' PERMISSIVE tolerance);
+    counting it would let a customer with four malformed payloads and
+    zero real assessments pass the gate and emit an all-null
+    aggregate row."""
     return (
         risk.groupBy(customer_col)
         .agg(
-            F.count(F.lit(1)).alias("n_assessments"),
+            F.count(F.col(score_col)).alias("n_assessments"),
             # Exact decimal sum → one double division (same
             # order-independence discipline as windowed_quality above):
             # F.avg over doubles accumulates in state-merge order, which

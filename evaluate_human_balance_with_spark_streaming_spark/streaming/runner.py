@@ -70,6 +70,13 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
+    except BaseException:
+        # start() itself rejected the plan (e.g. unwatermarked append
+        # aggregate): nothing is running, but the checkpoint dir was
+        # already created — reclaim it or repeated failing starts
+        # accumulate ehb-ckpt-* dirs in /tmp for the session's life.
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
@@ -142,15 +149,30 @@ def run_foreach_batch(
     ``batch_fn(batch_df, batch_id)`` runs on the driver per micro-batch
     with a *batch* DataFrame."""
     checkpoint = tempfile.mkdtemp(prefix="ehb-ckpt-feb-")
-    query = (
-        stream_df.writeStream.foreachBatch(batch_fn)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    try:
+        query = (
+            stream_df.writeStream.foreachBatch(batch_fn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+    except BaseException:
+        shutil.rmtree(checkpoint, ignore_errors=True)  # same as run_to_memory
+        raise
     try:
         _await_bounded(query, timeout_sec, "foreachBatch drain")
+    except BaseException:
+        # Stop FIRST on non-timeout failures (_await_bounded stops only
+        # on ITS timeout path): a KeyboardInterrupt/py4j error mid-await
+        # would otherwise leave the query invoking batch_fn against a
+        # checkpoint the finally below is deleting (stop twice is
+        # harmless; same discipline as run_to_memory).
+        try:
+            query.stop()
+        except Exception:
+            pass
+        raise
     finally:
         shutil.rmtree(checkpoint, ignore_errors=True)
 

@@ -34,6 +34,8 @@ from ..plans.stedi_queries import (
 )
 from ..sources.files import stream_parquet_dir
 from ..sources.testdata import (
+    _email_from_custkey,
+    load_table,
     stedi_customers_wire,
     stedi_customers_wire_ts,
     stedi_risk_wire,
@@ -65,42 +67,62 @@ def _materialize(wire_df: DataFrame, tag: str, n_files: int) -> str:
     return _WIRE_CACHE[key]
 
 
+# --- Wire builders ----------------------------------------------------
+# ONE builder per wire feed, returning the materialized dir. Both
+# prematerialize_wires and the queries call THESE — tag, file count and
+# derivation live in exactly one place, so the warmer and the timed
+# replay cannot drift apart (an earlier form duplicated the (tag,
+# n_files) literals on both sides; a mismatch would have silently moved
+# the ~1-2s encode+write cost back inside the timed window).
+
+
+def _cust_wire(spark: SparkSession, sf_dir: str) -> str:
+    return _materialize(stedi_customers_wire(spark, sf_dir), f"cust@{sf_dir}", 4)
+
+
+def _cust_ts_wire(spark: SparkSession, sf_dir: str) -> str:
+    return _materialize(
+        stedi_customers_wire_ts(spark, sf_dir), f"cust-ts@{sf_dir}", 4
+    )
+
+
+def _risk_wire(spark: SparkSession, sf_dir: str) -> str:
+    return _materialize(stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}", 4)
+
+
+def _win_wire(spark: SparkSession, sf_dir: str) -> str:
+    events = load_table(spark, sf_dir, "events")
+    return _materialize(
+        events.select("ts", "event_type", "value"), f"win@{sf_dir}", 4
+    )
+
+
+def _dup_ts_wire(spark: SparkSession, sf_dir: str) -> str:
+    """ONE doubled-events wire serves both dedup queries:
+    stream_dedup_exact reads it with a 3-column schema (parquet column
+    pruning drops ts at the scan) while the within-watermark variant
+    reads all 4 — no second full materialization."""
+    slim_ts = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return _materialize(slim_ts.union(slim_ts), f"dup-ts@{sf_dir}", 6)
+
+
 def prematerialize_wires(spark: SparkSession, sf_dir: str) -> None:
     """Pre-build every wire input the stream_* queries replay (the
     stand-in for data already sitting in Kafka) so a timing harness can
-    keep input PREPARATION out of the timed replay. Shares _WIRE_CACHE
-    with the queries themselves — the single source for tags and file
-    counts, so a cache-key change here and in the queries cannot drift
-    apart (bench.py calls this instead of duplicating private keys)."""
-    from ..sources.testdata import load_table
-
-    _materialize(stedi_customers_wire(spark, sf_dir), f"cust@{sf_dir}", 4)
-    _materialize(stedi_customers_wire_ts(spark, sf_dir), f"cust-ts@{sf_dir}", 4)
-    _materialize(stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}", 4)
-    events = load_table(spark, sf_dir, "events")
-    _materialize(events.select("ts", "event_type", "value"), f"win@{sf_dir}", 4)
-    # ONE doubled-events wire serves both dedup queries:
-    # stream_dedup_exact reads it with a 3-column schema (parquet
-    # column pruning drops ts at the scan) while the within-watermark
-    # variant reads all 4 — no second full materialization.
-    slim_ts = events.select("event_id", "user_id", "event_type", "ts")
-    _materialize(slim_ts.union(slim_ts), f"dup-ts@{sf_dir}", 6)
-    _session_wire(spark, sf_dir)
-
-
-def _materialize_wire_stream(
-    spark: SparkSession, wire_df: DataFrame, tag: str, n_files: int = 4
-) -> DataFrame:
-    """Write a wire-format DataFrame to a temp parquet dir (once per
-    (tag, n_files) per process — see _WIRE_CACHE) and re-open it as a
-    file *stream* (multiple micro-batches — a real replay, not a
-    single-batch degenerate case). Two files per trigger: still ≥2
-    batches of cross-batch state per source, at half the per-batch
-    fixed cost (measured 21s → 7s on the flagship join at sf0.1;
-    per-batch granularity is separately pinned by the streaming unit
-    tests)."""
-    path = _materialize(wire_df, tag, n_files)
-    return stream_parquet_dir(spark, path, _WIRE_SCHEMA, max_files_per_trigger=2)
+    keep input PREPARATION out of the timed replay — by calling the
+    same builder functions the queries themselves use (bench.py calls
+    this instead of duplicating private keys)."""
+    for wire in (
+        _cust_wire,
+        _cust_ts_wire,
+        _risk_wire,
+        _win_wire,
+        _dup_ts_wire,
+        _session_wire,
+    ):
+        wire(spark, sf_dir)
 
 
 _WIRE_TS_SCHEMA = StructType(
@@ -108,12 +130,16 @@ _WIRE_TS_SCHEMA = StructType(
 )
 
 
-def _materialize_wire_stream_ts(
-    spark: SparkSession, wire_df: DataFrame, tag: str, n_files: int = 4
+def _open_wire(
+    spark: SparkSession, path: str, schema: StructType = _WIRE_SCHEMA
 ) -> DataFrame:
-    """As _materialize_wire_stream, for (value, cust_ts) wire rows."""
-    path = _materialize(wire_df, tag, n_files)
-    return stream_parquet_dir(spark, path, _WIRE_TS_SCHEMA, max_files_per_trigger=2)
+    """Open a materialized wire dir as a file *stream* (multiple
+    micro-batches — a real replay, not a single-batch degenerate
+    case). Two files per trigger: still ≥2 batches of cross-batch
+    state per source, at half the per-batch fixed cost (measured
+    21s → 7s on the flagship join at sf0.1; per-batch granularity is
+    separately pinned by the streaming unit tests)."""
+    return stream_parquet_dir(spark, path, schema, max_files_per_trigger=2)
 
 
 @register(
@@ -139,12 +165,8 @@ def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-batch file streams, stream-stream inner join with symmetric
     hash state, drained via availableNow into a memory sink. Must
     hash-match the same relational oracle as the batch flagship."""
-    redis_stream = _materialize_wire_stream(
-        spark, stedi_customers_wire(spark, sf_dir), f"cust@{sf_dir}"
-    )
-    events_stream = _materialize_wire_stream(
-        spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}"
-    )
+    redis_stream = _open_wire(spark, _cust_wire(spark, sf_dir))
+    events_stream = _open_wire(spark, _risk_wire(spark, sf_dir))
     joined = stedi.flagship_pipeline(redis_stream, events_stream)
     return run_to_memory(spark, joined, output_mode="append")
 
@@ -183,12 +205,10 @@ def q_stream_flagship_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     bounded replay emits every in-band match, so the relational band
     join is an exact oracle; risk event times are truncated to
     milliseconds by the wire format, which the oracle replays."""
-    redis_stream = _materialize_wire_stream_ts(
-        spark, stedi_customers_wire_ts(spark, sf_dir), f"cust-ts@{sf_dir}"
+    redis_stream = _open_wire(
+        spark, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA
     )
-    events_stream = _materialize_wire_stream(
-        spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}"
-    )
+    events_stream = _open_wire(spark, _risk_wire(spark, sf_dir))
     joined = stedi.flagship_pipeline_watermarked(redis_stream, events_stream)
     return run_to_memory(spark, joined, output_mode="append")
 
@@ -209,17 +229,10 @@ def q_stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate over a replayed event
     stream (complete output mode so every window surfaces for the
     oracle; production uses append + watermark eviction)."""
-    from ..sources.testdata import load_table
-
-    events = load_table(spark, sf_dir, "events")
-    path = _materialize(
-        events.select("ts", "event_type", "value"), f"win@{sf_dir}", 4
-    )
-    stream = stream_parquet_dir(
+    stream = _open_wire(
         spark,
-        path,
+        _win_wire(spark, sf_dir),
         StructType.fromDDL("ts timestamp, event_type string, value double"),
-        max_files_per_trigger=2,
     )
     agg = windowed_quality(stream, ts_col="ts", window_size="1 day")
     return run_to_memory(spark, agg, output_mode="complete")
@@ -236,8 +249,6 @@ def _session_wire(spark: SparkSession, sf_dir: str) -> str:
     pattern that closes idle sessions so APPEND mode can emit them.
     The sentinel's own session can never close (the watermark trails
     it by the full delay), so it never reaches the sink."""
-    from ..sources.testdata import load_table
-
     key = (f"session@{sf_dir}", 5)
     if key not in _WIRE_CACHE:
         path = os.path.join(tempfile.mkdtemp(prefix="ehb-stream-session-"), "data")
@@ -315,12 +326,10 @@ def q_stream_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-of-replay so every real session finalizes and APPENDS. Tight-
     watermark eviction mid-stream is pinned separately by
     tests/test_streaming.py::test_streaming_session_window_emits_closed_session."""
-    path = _session_wire(spark, sf_dir)
-    stream = stream_parquet_dir(
+    stream = _open_wire(
         spark,
-        path,
+        _session_wire(spark, sf_dir),
         StructType.fromDDL("user_id bigint, ts timestamp"),
-        max_files_per_trigger=2,
     )
     sessions = (
         stream.withWatermark("ts", "90 days")
@@ -365,9 +374,7 @@ def q_stream_stateful_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (update mode), collapsed to final state so the relational derivation
     is an exact oracle. Per-batch emission granularity is pinned by unit
     tests (tests/test_streaming.py)."""
-    risk = stedi.parse_risk_events(
-        _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}")
-    )
+    risk = stedi.parse_risk_events(_open_wire(spark, _risk_wire(spark, sf_dir)))
     out = running_risk_state(risk)
     updates = run_to_memory(spark, out, output_mode="update")
     # Collapse per-batch updates to the final state per customer.
@@ -398,18 +405,10 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in the reference's own unbounded-state join. The wire dir is
     shared with the watermarked variant (one materialization, two read
     schemas)."""
-    from ..sources.testdata import load_table
-
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts"
-    )
-    doubled = events.union(events)
-    path = _materialize(doubled, f"dup-ts@{sf_dir}", 6)
-    stream = stream_parquet_dir(
+    stream = _open_wire(
         spark,
-        path,
+        _dup_ts_wire(spark, sf_dir),
         StructType.fromDDL("event_id bigint, user_id bigint, event_type string"),
-        max_files_per_trigger=2,
     )
     deduped = stream.dropDuplicates(["event_id"])
     return run_to_memory(spark, deduped, output_mode="append")
@@ -439,20 +438,12 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     through the driver. ts is projected away post-dedup: the oracle
     compares identity columns (raw nanos-precision timestamps don't
     round-trip the driver's pandas fetch)."""
-    from ..sources.testdata import load_table
-
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts"
-    )
-    doubled = events.union(events)
-    path = _materialize(doubled, f"dup-ts@{sf_dir}", 6)
-    stream = stream_parquet_dir(
+    stream = _open_wire(
         spark,
-        path,
+        _dup_ts_wire(spark, sf_dir),
         StructType.fromDDL(
             "event_id bigint, user_id bigint, event_type string, ts timestamp"
         ),
-        max_files_per_trigger=2,
     )
     deduped = (
         stream.withWatermark("ts", "365 days")
@@ -486,10 +477,8 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     is joined per micro-batch, broadcast when small). The third join
     flavor next to batch-batch and stream-stream; at scale this is the
     dimension-enrichment pattern where only the stream shuffles."""
-    from ..sources.testdata import _email_from_custkey, load_table
-
     risk_stream = stedi.parse_risk_events(
-        _materialize_wire_stream(spark, stedi_risk_wire(spark, sf_dir), f"risk@{sf_dir}")
+        _open_wire(spark, _risk_wire(spark, sf_dir))
     )
     dim = load_table(spark, sf_dir, "customer").select(
         _email_from_custkey(F.col("c_custkey")).alias("email"),

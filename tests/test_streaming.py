@@ -224,6 +224,46 @@ def test_stateful_risk_ignores_null_scores_like_sql_aggregates(spark):
     assert final.min_score == 2.0 and final.max_score == 4.0
 
 
+def test_risk_aggregate_null_scores_dont_pass_the_gate(spark):
+    """The relational risk aggregate must use the SAME n_assessments
+    definition as its stateful twin above: non-null scores only. A
+    customer with four malformed payloads (null scores) and zero real
+    assessments must not pass the >=4 gate and be reported as an
+    all-null aggregate row; null scores also must not inflate the
+    count of a customer with real scores."""
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.aggregates import (
+        risk_score_per_customer,
+    )
+
+    risk = spark.createDataFrame(
+        [("ghost@x.y", None)] * 4
+        + [("real@x.y", 1.0), ("real@x.y", None), ("real@x.y", 2.0),
+           ("real@x.y", 3.0), ("real@x.y", 4.0)],
+        "customer string, score double",
+    )
+    rows = {r.customer: r for r in risk_score_per_customer(risk).collect()}
+    assert set(rows) == {"real@x.y"}
+    assert rows["real@x.y"].n_assessments == 4
+    assert rows["real@x.y"].avg_score == 2.5
+
+
+def test_run_to_memory_cleans_checkpoint_when_start_rejects_plan(spark):
+    """A plan rejected at start() time (unwatermarked aggregate in
+    append mode) must not leak its ehb-ckpt-* temp dir — repeated
+    failing starts would otherwise accumulate for the session's life."""
+    import glob
+
+    import pytest
+
+    stream = wire_stream(spark, [risk_json("a@b.c", 1.0)], 1)
+    bad = stedi.parse_risk_events(stream).groupBy("customer").count()
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "ehb-ckpt-*")))
+    with pytest.raises(Exception):
+        run_to_memory(spark, bad, output_mode="append")
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "ehb-ckpt-*")))
+    assert after == before
+
+
 def test_foreach_batch_collects_all_batches(spark):
     from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
         run_foreach_batch,
@@ -429,21 +469,15 @@ def test_watermarked_flagship_plans_state_eviction(spark, sf_dir):
     (vs the reference's unbounded state, sparkpykafkajoin.py:196-198).
     Asserted on the streaming plan, not just claimed."""
     from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
-    from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
-        stedi_customers_wire_ts,
-        stedi_risk_wire,
-    )
     from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
-        _materialize_wire_stream,
-        _materialize_wire_stream_ts,
+        _WIRE_TS_SCHEMA,
+        _cust_ts_wire,
+        _open_wire,
+        _risk_wire,
     )
 
-    redis_stream = _materialize_wire_stream_ts(
-        spark, stedi_customers_wire_ts(spark, sf_dir), "wm-plan"
-    )
-    events_stream = _materialize_wire_stream(
-        spark, stedi_risk_wire(spark, sf_dir), "wm-plan-ev"
-    )
+    redis_stream = _open_wire(spark, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA)
+    events_stream = _open_wire(spark, _risk_wire(spark, sf_dir))
     joined = stedi.flagship_pipeline_watermarked(redis_stream, events_stream)
     assert joined.isStreaming
     plan = joined._jdf.queryExecution().analyzed().toString()
