@@ -61,6 +61,30 @@ def band_key(signature_cols: list[Column], band: int, rows_per_band: int) -> Col
     return F.md5(F.concat_ws("|", *[p.cast("string") for p in parts]))
 
 
+def hash_bucket(id_col: Column, modulus: int) -> Column:
+    """Deterministic sampling bucket 0..modulus-1: first 8 md5 hex
+    digits of the stringified id as an integer, mod ``modulus``. The
+    reproducible alternative to rand(): a row's bucket is stable
+    across runs, engines, partitionings, and dataset growth. ONE
+    definition for every sampling query; the DuckDB twin is
+    sql_hash_bucket below."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % modulus
+    )
+
+
+def sql_hash_bucket(id_expr: str, modulus: int) -> str:
+    """DuckDB fragment replaying hash_bucket verbatim — interpolate
+    into oracle SQL so the two sides share one definition."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {modulus}"
+    )
+
+
 def hex_digit_value(ch: Column) -> Column:
     """Value 0..15 of one lowercase hex digit character."""
     return F.instr(F.lit(HEX_DIGITS), ch) - 1

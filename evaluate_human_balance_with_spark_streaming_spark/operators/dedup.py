@@ -63,6 +63,32 @@ def with_shingles(
     )
 
 
+def _verify_jaccard(
+    cand: DataFrame, shingle_tbl: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs
+    against a slim (id, sh: array<string>) shingle table — the ONE
+    shared gate behind both candidate generators (MinHash banding and
+    the prefix-filtered set-similarity join), so the rounding/threshold
+    discipline cannot drift between them. Keeps pairs with
+    round(J, 6) >= threshold; candidates only ever join slim rows."""
+    pairs = cand.join(
+        shingle_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        shingle_tbl.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
@@ -160,25 +186,11 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify: join the shingle sets back in for candidate pairs only.
-    shingle_tbl = base.select(F.col(id_col), F.col("_shingles"))
-    pairs = cand.join(
-        shingle_tbl.select(
-            F.col(id_col).alias("id_a"), F.col("_shingles").alias("sh_a")
-        ),
-        "id_a",
-    ).join(
-        shingle_tbl.select(
-            F.col(id_col).alias("id_b"), F.col("_shingles").alias("sh_b")
-        ),
-        "id_b",
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(
+        cand,
+        base.select(F.col(id_col), F.col("_shingles").alias("sh")),
+        id_col,
+        jaccard_threshold,
     )
 
 
@@ -279,21 +291,8 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify on full shingle arrays, candidates only.
-    sh_tbl = sized.select(F.col(id_col), F.col("sh"))
-    pairs = cand.join(
-        sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
-        "id_a",
-    ).join(
-        sh_tbl.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
-        "id_b",
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(
+        cand, sized.select(F.col(id_col), "sh"), id_col, threshold
     )
 
 
@@ -364,6 +363,14 @@ def simhash_pairs(
     Requires ``max_hamming <= bands - 1`` for the completeness
     guarantee; returns (id_a, id_b, hamming) with id_a < id_b.
     """
+    if bands < 1 or 32 % bands != 0:
+        # Same guard class as minhash_lsh_pairs' bands check: bands > 32
+        # gives bits_per_band = 0, so every (band, bkey) is (b, 0) and
+        # the bounded candidate join silently degenerates to `bands`
+        # copies of the full n² self-join; a non-divisor of 32 leaves
+        # the top 32 % bands bits out of every band key, voiding the
+        # pigeonhole completeness the oracle certifies.
+        raise ValueError(f"bands must divide 32 exactly, got bands={bands}")
     if max_hamming > bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} needs >= {max_hamming + 1} bands "
@@ -422,15 +429,39 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup pairs within blocks (cluster/label/IVF
     cell). The blocked join keeps the candidate count linear-ish in
     block size; at scale the block assignment is the IVF coarse
-    quantizer (operators/similarity.py)."""
-    from ..functions.vectors import cosine_similarity
+    quantizer (operators/similarity.py).
 
-    v = df.select(
-        F.col(id_col), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    Norms are precomputed ONCE per vector behind the persist barrier —
+    cosine_similarity(va, vb) inline would re-fold each vector's norm
+    once per PAIR it appears in (~block-size× recompute; the same
+    CollapseProject trap brute_force_topk documents), and the
+    unpersisted slim table would re-scan the parquet for both join
+    sides. try_divide keeps the all-zero-vector case null, not a
+    crashed ANSI job, exactly as cosine_similarity does — the per-pair
+    expression is the same dot/(na·nb) with the norms hoisted, so
+    results are bit-identical."""
+    from ..functions.vectors import dot_product, l2_norm
+
+    v = managed_persist(
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("blk"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
     )
-    a = v.select(F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    a = v.select(
+        F.col(id_col).alias("id_a"), "blk",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), "blk",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.try_divide(
+        dot_product(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+    )
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -631,9 +662,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     scale-out CC for dedup clustering (pair graphs are shallow: near-dup
     clusters are cliques-ish, so 2-3 rounds in practice).
 
-    The input `pairs` plan is evaluated ONCE here (edge materialization
-    at the session's full parallelism); the propagation rounds then run
-    over the materialized edge blocks at a reduced partition count.
+    The input `pairs` plan is evaluated ONCE here — checkpointed
+    BEFORE symmetrization, so the union reads the materialized blocks
+    twice instead of running the (expensive, typically LSH) candidate
+    pipeline twice (edge materialization at the session's full
+    parallelism); the propagation rounds then run over those blocks at
+    a reduced partition count.
     """
     if max_iterations <= 0:
         # A non-positive budget would skip the loop and return every
@@ -641,17 +675,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # case the convergence guard below exists to prevent.
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     spark = pairs.sparkSession
-    # Materialize the symmetrized edge set BEFORE touching the shuffle
+    # Materialize the canonical edge set BEFORE touching the shuffle
     # conf: `pairs` is typically a built-but-unevaluated plan (the LSH
     # candidate pipeline), and batch plans read the conf at plan time —
     # pinning first would run the whole upstream corpus pipeline at the
-    # reduced width. localCheckpoint also truncates the upstream
-    # lineage, so no round re-plans the LSH pipeline.
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
-    )
+    # reduced width. Checkpoint BEFORE the symmetrizing union — a union
+    # of two selects over the raw plan would embed (and evaluate) the
+    # candidate pipeline twice in one job. localCheckpoint also
+    # truncates the upstream lineage, so no round re-plans it.
+    cp = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
+    edges = cp.union(cp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # Near-dup pair graphs are orders of magnitude smaller than the
     # corpus; at 32 shuffle partitions each tiny propagation round pays
     # ~32 task launches per stage (measured 3.1s for a 256-edge graph).

@@ -47,15 +47,26 @@ def decode_ppm(payload: bytes) -> bytes:
 
     def token() -> bytes:
         nonlocal pos
-        while pos < n and payload[pos : pos + 1].isspace():
-            pos += 1
-        while pos < n and payload[pos : pos + 1] == b"#":
-            while pos < n and payload[pos] != 0x0A:
+        # Per the netpbm grammar a comment may begin wherever
+        # whitespace is legal, INCLUDING immediately after a token
+        # ('640#cols\n480' is a legal width/height pair — netpbm's own
+        # pm_getuint stops the digit scan at the '#'); both the
+        # skip loop and the token reader therefore treat '#' as a
+        # delimiter, not token content.
+        while pos < n:
+            if payload[pos : pos + 1].isspace():
                 pos += 1
-            while pos < n and payload[pos : pos + 1].isspace():
-                pos += 1
+            elif payload[pos : pos + 1] == b"#":
+                while pos < n and payload[pos] != 0x0A:
+                    pos += 1
+            else:
+                break
         start = pos
-        while pos < n and not payload[pos : pos + 1].isspace():
+        while (
+            pos < n
+            and not payload[pos : pos + 1].isspace()
+            and payload[pos : pos + 1] != b"#"
+        ):
             pos += 1
         if start == pos:
             raise ValueError("ppm: truncated header")
@@ -75,7 +86,14 @@ def decode_ppm(payload: bytes) -> bytes:
     width, height, maxval = header_int(), header_int(), header_int()
     if maxval != 255:
         raise ValueError(f"ppm: only maxval 255 supported, got {maxval}")
-    pos += 1  # exactly one whitespace byte separates header and pixels
+    # Exactly one whitespace byte separates header and pixels. If the
+    # maxval token was terminated by a '#' instead, blindly advancing
+    # would swallow the comment marker and read comment text as raster
+    # — reject loudly (a comment between maxval and the delimiter is a
+    # grammar corner no real encoder produces).
+    if pos >= n or not payload[pos : pos + 1].isspace():
+        raise ValueError("ppm: missing raster delimiter after maxval")
+    pos += 1
     pixels = payload[pos:]
     if width < 0 or height < 0 or len(pixels) != width * height * 3:
         raise ValueError(
@@ -130,6 +148,19 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+def _decode_or_none(p, m) -> bytes | None:
+    """NULL-tolerant decode for the Arrow batch loops: a NULL payload
+    or modality (e.g. a NULL-text document flowing through
+    attach_binary_payload) propagates as None — SQL null-in/null-out —
+    instead of bytes(None) raising TypeError inside the Arrow worker
+    and killing the whole job. Decode ERRORS (malformed payload,
+    unsupported codec) still raise: data absence and data corruption
+    are different events."""
+    if p is None or m is None:
+        return None
+    return decode_payload(bytes(p), m)
+
+
 def _payload_features(raw: bytes) -> tuple[int, float, str]:
     """Row-level deterministic fake features (byte_len, mean_byte,
     md5-prefix crc) — SINGLE definition shared by every mapInPandas
@@ -165,16 +196,19 @@ def extract_features(df: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _payload_features(decode_payload(bytes(p), m))
-                for p, m in zip(pdf["payload"], pdf["modality"])
+                None if d is None else _payload_features(d)
+                for d in (
+                    _decode_or_none(p, m)
+                    for p, m in zip(pdf["payload"], pdf["modality"])
+                )
             ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "modality": pdf["modality"],
-                    "byte_len": [f[0] for f in feats],
-                    "mean_byte": [f[1] for f in feats],
-                    "feature_crc": [f[2] for f in feats],
+                    "byte_len": [f[0] if f else None for f in feats],
+                    "mean_byte": [f[1] if f else None for f in feats],
+                    "feature_crc": [f[2] if f else None for f in feats],
                 }
             )
 
@@ -281,14 +315,17 @@ def resize_payload(df: DataFrame, target_bytes: int = 64) -> DataFrame:
     def resize(batches):
         for pdf in batches:
             out = [
-                _stride_resize(decode_payload(bytes(p), m), target_bytes)
-                for p, m in zip(pdf["payload"], pdf["modality"])
+                None if d is None else _stride_resize(d, target_bytes)
+                for d in (
+                    _decode_or_none(p, m)
+                    for p, m in zip(pdf["payload"], pdf["modality"])
+                )
             ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "resized": out,
-                    "out_len": [len(o) for o in out],
+                    "out_len": [None if o is None else len(o) for o in out],
                 }
             )
 
@@ -315,19 +352,25 @@ def featurize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                decode_payload(bytes(p), m)
+                _decode_or_none(p, m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
-            feats = [_payload_features(p) for p in payloads]
-            resized = [_stride_resize(p, target_bytes) for p in payloads]
+            feats = [None if p is None else _payload_features(p) for p in payloads]
+            resized = [
+                None if p is None else _stride_resize(p, target_bytes)
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "byte_len": [f[0] for f in feats],
-                    "mean_byte": [f[1] for f in feats],
-                    "feature_crc": [f[2] for f in feats],
-                    "out_len": [len(r) for r in resized],
-                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                    "byte_len": [f[0] if f else None for f in feats],
+                    "mean_byte": [f[1] if f else None for f in feats],
+                    "feature_crc": [f[2] if f else None for f in feats],
+                    "out_len": [None if r is None else len(r) for r in resized],
+                    "resized_md5": [
+                        None if r is None else hashlib.md5(r).hexdigest()
+                        for r in resized
+                    ],
                 }
             )
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import managed_persist
+from ..functions.hashing import hash_bucket, sql_hash_bucket
 from ..functions.text import fingerprint_md5, tokens
 from ..plans.registry import register
 from ..sources.testdata import load_table
@@ -213,11 +215,21 @@ def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    # Persist barriers: toks feeds BOTH aggregates (tf and document
+    # frequency) and tf feeds BOTH doclen and the scoring join — each
+    # unpersisted consumer re-runs the corpus scan + explode (the
+    # recompute-per-consumer trap with_shingles documents; at 100 TB
+    # the equivalents are materialized token/term-frequency tables).
+    # Released by the query wrapper after evaluation.
+    toks = managed_persist(
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        )
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    tf = managed_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    )
     doclen = tf.groupBy("doc_id").agg(F.sum("tc").alias("n_toks"))
     df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     # Corpus size as a broadcast scalar subplan — NOT d.count(): a
@@ -289,10 +301,10 @@ def q_text_levenshtein_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_sampling_battery",
-    oracle="""
+    oracle=f"""
         SELECT 'hash10' AS method, doc_id, lang
         FROM documents
-        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        WHERE {sql_hash_bucket('doc_id', 100)} < 10
         UNION ALL
         SELECT 'strat20' AS method, doc_id, lang FROM (
             SELECT doc_id, lang,
@@ -320,11 +332,8 @@ def q_text_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
     hash10 = (
-        d.filter(bucket < 10)
+        d.filter(hash_bucket(F.col("doc_id"), 100) < 10)
         .select(F.lit("hash10").alias("method"), "doc_id", "lang")
     )
     w = Window.partitionBy("lang").orderBy(
@@ -364,7 +373,7 @@ def q_text_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens
         FROM deduped
-        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        WHERE {sql_hash_bucket('doc_id', 2)} = 0
     """,
     tags=("text", "pipeline", "capstone"),
 )
@@ -389,7 +398,6 @@ def q_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy(fingerprint_md5(F.col("text")).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"), F.max("n_tokens").alias("n_tokens"))
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 2
-    return deduped.filter(bucket == 0).select("doc_id", "n_tokens")
+    return deduped.filter(hash_bucket(F.col("doc_id"), 2) == 0).select(
+        "doc_id", "n_tokens"
+    )

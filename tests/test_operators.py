@@ -552,3 +552,64 @@ def test_operator_parameter_guards_raise_instead_of_degenerating(spark):
         minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=32)
     with pytest.raises(ValueError, match="bands"):
         minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=3)
+    # Same class for simhash: bands > 32 makes bits_per_band 0, so
+    # every band key is (b, 0) and the banded join degenerates to
+    # `bands` copies of the all-pairs self-join; a non-divisor of 32
+    # silently drops the top bits from every band key.
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(docs, "text", "doc_id", max_hamming=3, bands=33)
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(docs, "text", "doc_id", max_hamming=0, bands=0)
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(docs, "text", "doc_id", max_hamming=2, bands=5)
+
+
+def test_multimodal_null_payload_propagates_not_crashes(spark):
+    """A NULL payload/modality row (e.g. a NULL-text document through
+    attach_binary_payload) must propagate SQL-style nulls through every
+    Arrow pass — bytes(None) previously raised TypeError inside the
+    worker and killed the whole job."""
+    from evaluate_human_balance_with_spark_streaming_spark.operators.multimodal import (
+        extract_features,
+        featurize_payloads,
+        resize_payload,
+    )
+
+    mm = spark.createDataFrame(
+        [(1, "raw", b"abc"), (2, "raw", None), (3, None, b"abc")],
+        "id bigint, modality string, payload binary",
+    )
+    feats = {r.id: r for r in extract_features(mm).collect()}
+    assert feats[1].byte_len == 3 and feats[1].feature_crc is not None
+    assert feats[2].byte_len is None and feats[2].feature_crc is None
+    assert feats[3].mean_byte is None
+    fused = {r.id: r for r in featurize_payloads(mm).collect()}
+    assert fused[1].resized_md5 is not None
+    assert fused[2].resized_md5 is None and fused[2].out_len is None
+    resized = {r.id: r for r in resize_payload(mm).collect()}
+    assert resized[1].out_len == 3
+    assert resized[2].resized is None and resized[2].out_len is None
+
+
+def test_decode_ppm_comment_adjacent_to_token(spark):
+    """netpbm grammar: a comment may start immediately after a header
+    token ('640#cols\\n480') — the '#' delimits the token. And a
+    comment swallowing the raster delimiter after maxval must reject
+    loudly, never read comment text as pixels."""
+    import pytest as _pytest
+
+    from evaluate_human_balance_with_spark_streaming_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    pixels = bytes(range(12))  # 2x2 RGB
+    ok = b"P6\n2# cols comment\n2\n255\n" + pixels
+    assert decode_ppm(ok) == pixels
+    assert decode_ppm(encode_ppm(2, 2, pixels)) == pixels
+    with _pytest.raises(ValueError, match="raster delimiter"):
+        decode_ppm(b"P6\n2 2\n255# no delimiter\n" + pixels)
