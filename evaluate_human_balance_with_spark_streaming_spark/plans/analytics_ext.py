@@ -416,8 +416,14 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         flagged AS (
             SELECT user_id, ts, event_id,
+                   -- STRICT >: Spark's session_window merges an event
+                   -- arriving at exactly gap seconds (window [t, t+gap)
+                   -- touching counts as the same session; verified
+                   -- empirically and pinned by unit test). >= here
+                   -- would split exact-boundary sessions the engine
+                   -- merges.
                    CASE WHEN prev_ts IS NULL
-                             OR epoch(ts) - epoch(prev_ts) >= 3600
+                             OR epoch(ts) - epoch(prev_ts) > 3600
                         THEN 1 ELSE 0 END AS new_session
             FROM seq
         ),
@@ -444,8 +450,10 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation (1h inactivity gap): one row
     per (user, session) with start + event count. The oracle rebuilds
     sessions relationally (LAG + running sum), proving Spark's
-    session-merge semantics — a new session starts iff the gap is
-    >= the duration — against an independent derivation. The same
+    session-merge semantics — a new session starts iff the gap
+    STRICTLY exceeds the duration (an exact-3600s gap merges; pinned
+    by tests/test_operators.py::test_session_window_boundary_semantics)
+    — against an independent derivation. The same
     groupBy(session_window(...)) runs streaming with a watermark."""
     e = load_table(spark, sf_dir, "events")
     return (

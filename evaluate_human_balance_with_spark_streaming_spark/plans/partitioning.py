@@ -111,9 +111,25 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     plan-build-light: file metadata + the already-analyzed logical
     plan, never an RDD conversion or physical planning (asserted by
     tests/test_plan_shapes.py)."""
-    spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    if min_partitions is None:
+        try:
+            min_partitions = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            # Spark Connect exposes no sparkContext; this must take the
+            # same warn-and-no-op fallback as the plan inspection below
+            # — raising here would crash every operator build that
+            # calls the helper with the default target.
+            import warnings
+
+            warnings.warn(
+                "ensure_min_partitions: no sparkContext on this session "
+                "type and no explicit min_partitions; scan-spreading is "
+                "disabled",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return df
     est = _estimated_scan_parallelism(df)
-    if est is not None and est < target and not _has_shuffle_operator(df):
-        return df.repartition(target)
+    if est is not None and est < min_partitions and not _has_shuffle_operator(df):
+        return df.repartition(min_partitions)
     return df

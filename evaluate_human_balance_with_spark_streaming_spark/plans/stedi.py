@@ -193,6 +193,25 @@ def serialize_for_kafka(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
+def serialize_risk_payload(df: DataFrame) -> DataFrame:
+    """The CERTIFIED sink projection for the flagship join output:
+    score serialized as a JSON *string* to match the documented target
+    payload (reference README.md:159-164), then to_json(struct(*)).
+    ONE definition in front of both the production job
+    (jobs/kafka_join.py) and the driver-certified stedi_serialized_sink
+    query — the job previously called bare serialize_for_kafka and
+    emitted score as a JSON number, drifting from the payload the
+    certification covers."""
+    return serialize_for_kafka(
+        df.select(
+            F.col("customer"),
+            F.col("score").cast("string").alias("score"),
+            F.col("email"),
+            F.col("birthYear"),
+        )
+    )
+
+
 def flagship_pipeline(redis_raw: DataFrame, events_raw: DataFrame) -> DataFrame:
     """The complete flagship dataflow, unserialized: two raw streams in,
     joined (customer, score, email, birthYear) out."""

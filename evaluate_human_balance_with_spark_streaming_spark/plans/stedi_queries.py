@@ -49,9 +49,8 @@ def stedi_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stedi_risk_parse",
-    oracle="""
-        SELECT 'customer_' || lpad(CAST(user_id AS VARCHAR), 9, '0')
-                   || '@example.com' AS customer,
+    oracle=f"""
+        SELECT {_SQL_EMAIL_FROM_USER} AS customer,
                CAST(value AS FLOAT) AS score
         FROM events
     """,
@@ -127,8 +126,13 @@ def stedi_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(value AS FLOAT) AS score
             FROM events
         )
-        SELECT '{{"customer":"' || r.customer || '","score":"' || CAST(r.score AS VARCHAR)
-               || '","email":"' || c.email || '","birthYear":"' || c.birthYear || '"}}'
+        SELECT '{{"customer":"' || r.customer || '"'
+               || CASE WHEN r.score IS NULL THEN ''
+                       ELSE ',"score":"' || CAST(r.score AS VARCHAR) || '"' END
+               || ',"email":"' || c.email || '"'
+               || CASE WHEN c.birthYear IS NULL THEN ''
+                       ELSE ',"birthYear":"' || c.birthYear || '"' END
+               || '}}'
                AS value
         FROM risk r JOIN cust c ON r.customer = c.email
     """,
@@ -136,18 +140,20 @@ def stedi_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stedi_serialized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-sink projection (reference sparkpykafkajoin.py:211-212):
-    to_json(struct(*)) AS value. Score/birthYear are serialized as JSON
-    *strings* to match the documented target payload (README.md:159-164)
-    — which also makes the oracle's formatting deterministic."""
-    joined = stedi.flagship_pipeline(
-        stedi_customers_wire(spark, sf_dir), stedi_risk_wire(spark, sf_dir)
-    ).select(
-        F.col("customer"),
-        F.col("score").cast("string").alias("score"),
-        F.col("email"),
-        F.col("birthYear"),
+    to_json(struct(*)) AS value, via the SAME serialize_risk_payload
+    the production job publishes (score as a JSON string per the
+    documented target payload, README.md:159-164 — which also makes
+    the oracle's formatting deterministic). The oracle replays
+    to_json's null-field DROPPING for the nullable fields (score,
+    birthYear): naive string concatenation would NULL the whole
+    payload on one null field — same row count, hash mismatch — the
+    moment a regenerated fixture contains a null score. customer and
+    email are inner-join keys, never null here."""
+    return stedi.serialize_risk_payload(
+        stedi.flagship_pipeline(
+            stedi_customers_wire(spark, sf_dir), stedi_risk_wire(spark, sf_dir)
+        )
     )
-    return stedi.serialize_for_kafka(joined)
 
 
 @register(

@@ -101,6 +101,11 @@ def get_spark(
         )
         .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # STATIC conf: binds ONLY when this process launches the JVM
+        # (plain `python ...` / pytest / bench). Under spark-submit the
+        # driver JVM already exists and this line is silently ignored —
+        # size the driver there with `spark-submit --driver-memory`
+        # (the jobs/*.py headers launch that way).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for key, value in RUNTIME_CONF.items():

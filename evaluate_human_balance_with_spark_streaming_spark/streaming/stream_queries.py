@@ -280,7 +280,7 @@ def _session_wire(spark: SparkSession, sf_dir: str) -> str:
     # Same relational derivation as the batch twin
     # (plans/analytics_ext.py::q_session_window_stats): gap
     # sessionization via LAG + running sum — a new session starts iff
-    # the inactivity gap is >= 1 hour. The stream must reproduce it
+    # the inactivity gap STRICTLY exceeds 1 hour. The stream must reproduce it
     # exactly through session_window merge semantics + watermark
     # eviction; the sentinel is invisible here because it exists only
     # on the wire, not in the events table.
@@ -292,8 +292,10 @@ def _session_wire(spark: SparkSession, sf_dir: str) -> str:
         ),
         flagged AS (
             SELECT user_id, ts, event_id,
+                   -- STRICT >: an exact-gap event merges into the
+                   -- session (see q_session_window_stats oracle).
                    CASE WHEN prev_ts IS NULL
-                             OR epoch(ts) - epoch(prev_ts) >= 3600
+                             OR epoch(ts) - epoch(prev_ts) > 3600
                         THEN 1 ELSE 0 END AS new_session
             FROM seq
         ),

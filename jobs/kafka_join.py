@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from evaluate_human_balance_with_spark_streaming_spark.plans.stedi import (
     flagship_pipeline,
-    serialize_for_kafka,
+    serialize_risk_payload,
 )
 from evaluate_human_balance_with_spark_streaming_spark.session import get_spark
 from evaluate_human_balance_with_spark_streaming_spark.sources.kafka import (
@@ -52,7 +52,10 @@ def main() -> None:
     joined = flagship_pipeline(redis_raw, events_raw)
 
     start_query(
-        serialize_for_kafka(joined),
+        # The certified payload shape (score as a JSON string) — shared
+        # with the stedi_serialized_sink oracle query, so the topic the
+        # risk-graph UI consumes cannot drift from the certification.
+        serialize_risk_payload(joined),
         "kafka",
         checkpoint_location="/tmp/stedi-risk-checkpoint",
         options=kafka_sink_options("stedi-risk", bootstrap),

@@ -568,6 +568,39 @@ def test_operator_parameter_guards_raise_instead_of_degenerating(spark):
         simhash_pairs(docs, "text", "doc_id", max_hamming=2, bands=5)
 
 
+def test_session_window_boundary_semantics(spark):
+    """An event arriving EXACTLY gap seconds after the previous one
+    MERGES into the session (Spark session_window treats the touching
+    [t, t+gap) window as the same session); one second later it
+    splits. The session oracles' LAG-based derivation therefore uses
+    strict > — a >= comparator would split exact-boundary sessions
+    the engine merges (latent until a fixture contains an exact-gap
+    pair; verified empirically on Spark 4.1.2)."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0)),
+            (1, datetime(2024, 1, 1, 1, 0, 0)),   # exactly 3600s later
+            (2, datetime(2024, 1, 1, 0, 0, 0)),
+            (2, datetime(2024, 1, 1, 1, 0, 1)),   # 3601s later
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r.user_id, str(r.start)): r.n
+        for r in df.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "w.start", "n")
+        .collect()
+    }
+    assert out == {
+        (1, "2024-01-01 00:00:00"): 2,   # exact-gap pair merged
+        (2, "2024-01-01 00:00:00"): 1,   # 1s past the gap: split
+        (2, "2024-01-01 01:00:01"): 1,
+    }
+
+
 def test_multimodal_null_payload_propagates_not_crashes(spark):
     """A NULL payload/modality row (e.g. a NULL-text document through
     attach_binary_payload) must propagate SQL-style nulls through every

@@ -167,6 +167,24 @@ def test_serialize_for_kafka_shape(spark):
     }
 
 
+def test_serialize_risk_payload_string_score_and_null_dropping(spark):
+    """The certified sink payload: score rides as a JSON *string*
+    (README.md:159-164 target shape — the projection the production
+    job and the oracle query now share), and to_json DROPS null
+    fields — the oracle replays that with conditional fragments, so
+    this pins the engine behavior the oracle encodes."""
+    df = spark.createDataFrame(
+        [("a@b.c", 1.5, "a@b.c", "1990"), ("x@y.z", None, "x@y.z", None)],
+        "customer string, score float, email string, birthYear string",
+    )
+    rows = {json.loads(r.value)["customer"]: json.loads(r.value)
+            for r in stedi.serialize_risk_payload(df).collect()}
+    assert rows["a@b.c"]["score"] == "1.5"          # string, not number
+    assert "score" not in rows["x@y.z"]             # null field dropped
+    assert "birthYear" not in rows["x@y.z"]
+    assert rows["x@y.z"]["email"] == "x@y.z"
+
+
 def test_encode_decode_roundtrip(spark):
     plain = spark.createDataFrame(
         [("Sam Test", "sam@test.com", "8015551212", "2001-01-03")],
