@@ -162,15 +162,27 @@ def _baseline_artifacts(here: str | None = None) -> list[dict]:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             numbered.append((int(m.group(1)), p))
+    candidates = []
     if numbered:
+        candidates.append(max(numbered)[1])
+    candidates.append(os.path.join(here, "BENCH_BASELINE.json"))
+    for path in candidates:
         try:
-            out.append(_read_bench_json(max(numbered)[1]))
-        except Exception:
+            out.append(_read_bench_json(path))
+        except FileNotFoundError:
             pass
-    try:
-        out.append(_read_bench_json(os.path.join(here, "BENCH_BASELINE.json")))
-    except Exception:
-        pass
+        except Exception as e:
+            # Same loudness as the EXTRA artifact above: a truncated
+            # BENCH_BASELINE.json (e.g. an interrupted re-record) would
+            # otherwise silently drop the deliberate clean-box baseline
+            # and re-gate everything against the newest driver
+            # recording — the loaded-box ratchet this precedence order
+            # exists to prevent.
+            print(
+                f"# WARNING unreadable {path}: {e} — its baseline "
+                "entries are NOT applied",
+                file=sys.stderr,
+            )
     return out
 
 

@@ -86,10 +86,13 @@ def _dtype_kind_diffs(sdf, pdf):
             out.append((c, skinds[c], dk))
     return out
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# Single source: the package's table list — a table added there (and
+# used by a new query + oracle) must get its DuckDB view here too, or
+# every oracle referencing it fails with a confusing missing-table
+# error.
+from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (  # noqa: E402
+    TABLES,
+)
 
 
 def normalize_cell(v) -> str:
@@ -138,6 +141,17 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd filter previously matched nothing and exited 0
+        # having checked nothing — a vacuous green gate.
+        print(
+            f"ERROR: unknown query name(s): {sorted(unknown)} "
+            f"(registry has {len(qs)} queries)",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark("ehb-correctness")
     con = duckdb.connect()

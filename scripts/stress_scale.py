@@ -42,6 +42,11 @@ def replicated(df, k, id_cols=(), salt_col=None):
     """K copies of df, JVM-side: ids shifted by copy*STRIDE so key
     cardinality scales with K; salt_col (text) gets a per-copy leading
     token so copies are near- but not byte-identical."""
+    if k < 1:
+        # sequence(0, k-1) with k<1 infers a NEGATIVE step and yields
+        # [0, -1]: TWO corrupted copies measured under a plausible
+        # 'K=0' label instead of an error.
+        raise ValueError(f"replication factor must be >= 1, got {k}")
     if k == 1:
         return df
     d = df.withColumn("_copy", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
@@ -128,16 +133,23 @@ def wl_stream_flagship(spark, sf_dir, k):
         run_to_memory,
     )
     from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
-        _materialize_wire_stream,
+        _materialize,
+        _open_wire,
     )
 
-    redis_stream = _materialize_wire_stream(
-        spark, stedi_customers_wire(spark, sf_dir), f"stress-cust@{sf_dir}"
-    )
-    events_stream = _materialize_wire_stream(
+    redis_stream = _open_wire(
         spark,
-        replicated(stedi_risk_wire(spark, sf_dir), k),
-        f"stress-risk-x{k}@{sf_dir}",
+        _materialize(
+            stedi_customers_wire(spark, sf_dir), f"stress-cust@{sf_dir}", 4
+        ),
+    )
+    events_stream = _open_wire(
+        spark,
+        _materialize(
+            replicated(stedi_risk_wire(spark, sf_dir), k),
+            f"stress-risk-x{k}@{sf_dir}",
+            4,
+        ),
     )
     joined = stedi.flagship_pipeline(redis_stream, events_stream)
     return run_to_memory(spark, joined, output_mode="append")

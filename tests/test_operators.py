@@ -4,8 +4,6 @@ the DuckDB oracle runs."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from hypothesis import HealthCheck, given
 from hypothesis import settings as hyp_settings
@@ -352,7 +350,7 @@ def test_job_entrypoints_importable_and_wired():
     import ast
     from pathlib import Path
 
-    jobs = sorted(Path("jobs").glob("*.py"))
+    jobs = sorted((Path(__file__).resolve().parent.parent / "jobs").glob("*.py"))
     assert [j.name for j in jobs] == [
         "events_stream_to_console.py",
         "kafka_join.py",

@@ -4,10 +4,7 @@ batch mode (identical plans run streaming; see test_streaming.py)."""
 
 from __future__ import annotations
 
-import base64
 import json
-
-from pyspark.sql import functions as F
 
 from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
 
