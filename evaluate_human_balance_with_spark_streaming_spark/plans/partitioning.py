@@ -25,14 +25,18 @@ from pyspark.sql import DataFrame
 # RepartitionByExpression, FlatMapGroupsInPandas,
 # FlatMapCoGroupsInPandas, WindowGroupLimit.
 #
-# Known over-conservatism: a logical Join that the planner will
-# BROADCAST does not shuffle the stream side, so a 1-partition scan
-# broadcast-joined to a dim stays narrow and this helper declines to
-# spread it. Whether a join broadcasts is a PHYSICAL decision this
-# plan-build-light check cannot see; the helper's contract on
-# uncertain evidence is "never add a shuffle", so callers doing
-# CPU-heavy work on a scan⋈broadcast-dim pipeline should spread the
-# scan BEFORE the join (every in-repo caller feeds bare scans).
+# Known over-conservatism (two classes, same resolution): (a) a
+# logical Join that the planner will BROADCAST does not shuffle the
+# stream side, so a 1-partition scan broadcast-joined to a dim stays
+# narrow and this helper declines to spread it — whether a join
+# broadcasts is a PHYSICAL decision this plan-build-light check
+# cannot see; (b) the stems also match NARROW variants that keep the
+# upstream width (Sort from sortWithinPartitions, Repartition from
+# coalesce — the logical node names don't carry the global/shuffle
+# flag in toString). The helper's contract on uncertain evidence is
+# "never add a shuffle", so callers doing CPU-heavy work downstream
+# of either shape should spread the scan FIRST (every in-repo caller
+# feeds bare scans).
 _SHUFFLE_NODES = re.compile(
     r"^[\s+:-]*(Aggregate|Join|Window|Sort|Repartition|Deduplicate|"
     r"Distinct|Except|Intersect|CoGroup|FlatMapGroups|MapGroups)",

@@ -133,16 +133,17 @@ def wl_stream_flagship(spark, sf_dir, k):
         run_to_memory,
     )
     from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
+        _cust_wire,
         _materialize,
         _open_wire,
     )
 
-    redis_stream = _open_wire(
-        spark,
-        _materialize(
-            stedi_customers_wire(spark, sf_dir), f"stress-cust@{sf_dir}", 4
-        ),
-    )
+    # Customers side is NOT replicated — use the certified wire builder
+    # (same tag/derivation as the flagship replay; a private stress tag
+    # would re-encode byte-identical data and could silently drift).
+    # The K×-replicated risk side is stress-specific and keeps its own
+    # tag.
+    redis_stream = _open_wire(spark, _cust_wire(spark, sf_dir))
     events_stream = _open_wire(
         spark,
         _materialize(
