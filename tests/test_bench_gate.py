@@ -219,3 +219,35 @@ def test_regression_factor_and_cap_sane():
     """The cap must sit strictly below the factor or a degraded box
     doubles every bar (the exact hole ADVICE r03 flagged)."""
     assert DRIFT_CAP < REGRESSION_FACTOR
+
+
+def test_probe_settle_decision():
+    """The probe's settle barrier is anchored to the recorded probe
+    baseline (r04: a fresh JVM's tiered-compiler backlog produced a
+    5.2→3.2→3.0→2.7→0.6s descending series with a FALSE PLATEAU at
+    ~3s; a fixed best-of-3 recorded that plateau as box drift and the
+    first timed query absorbed the rest as a phantom regression)."""
+    from bench import _probe_settled
+
+    base = 0.455  # the recorded BENCH_BASELINE probe
+    # The false plateau: reps agree within 10% but sit 6x above the
+    # baseline — must NOT settle where best-of-3 used to stop.
+    assert not _probe_settled([5.2, 3.2, 3.0], target_s=base)
+    assert not _probe_settled([5.2, 3.2, 3.0, 2.7], target_s=base)
+    # Settles once a rep reaches the baseline's neighborhood AND the
+    # latest rep is near the running min.
+    assert _probe_settled([5.2, 3.2, 3.0, 2.7, 0.9, 0.5, 0.55], target_s=base)
+    # A rep at 2x the baseline is still outside its neighborhood even
+    # when the series has flattened there.
+    assert not _probe_settled([5.2, 3.2, 0.9], target_s=base)
+    # A warm session settles immediately at min_reps.
+    assert _probe_settled([0.5, 0.52, 0.51], target_s=base)
+    # Never before min_reps, even when flat and at target.
+    assert not _probe_settled([0.5, 0.5], target_s=base)
+    # Without a recorded baseline (first-ever recording) the plateau
+    # criterion alone decides — best effort.
+    assert _probe_settled([0.5, 0.52, 0.51], target_s=None)
+    # A genuinely loaded box never reaches the target → caller runs to
+    # max_reps and the min reflects the contention (that is what drift
+    # credit + the artifact's rep series are for).
+    assert not _probe_settled([4.0, 2.0, 2.1, 2.05], target_s=base)
