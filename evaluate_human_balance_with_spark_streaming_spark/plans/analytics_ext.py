@@ -560,24 +560,65 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min(bu,bv), max(bu,bv)); same-bucket pairs would meet in all B of
     their common cells, so the diagonal is deduplicated by keeping
     only the (bu, bu) cell meeting. Compare work stays ~n²/day (the
-    blocking redistributes, it doesn't prune); AQE skew-join covers
-    residual imbalance; the finer refinement when activity allows is
-    an hourly grain. Measured cost of the redistribution at sf0.1:
-    ~5.0 s warm vs ~2.3 s for the day-only join — the B× replication
-    of slim profile rows is the price, paid back as soon as the
-    per-day row count exceeds what one reducer should hold (the
-    100 TB regime this query is written for)."""
+    blocking redistributes, it doesn't prune); the finer refinement
+    when activity allows is an hourly grain.
+
+    B is chosen ADAPTIVELY from measured skew (grid_buckets_for):
+    blocking is pure overhead when day-parallelism already saturates
+    the reducers — measured on the ×4 user-replication stress
+    (SCALING.md): the B=8 grid cost 262 s where the flat day join
+    cost 60 s, because 30 uniform days ≈ 32 cores means the grid's
+    B× replication shuffle and ~2-3× pair-row fan (off-diagonal
+    double-meet + same-bucket B-fold meets) buy no redistribution at
+    all. The flat join's GROWTH is worse (17.7× vs 8.0× wall on 4×
+    data) — the grid is still the scale path; it just must engage
+    only when the hottest day's pair-work share exceeds one
+    reducer's fair share. The stats read is one tiny aggregate over
+    the persisted slim profile (~#days rows — a deliberate,
+    documented plan-build action of the same class as
+    connected-components' convergence count, NOT a hidden physical
+    planning of the full input)."""
     return user_activity_similarity(load_table(spark, sf_dir, "events"))
 
 
+def grid_buckets_for(
+    hot_share: float, parallelism: int, cap: int = 64, slack: float = 1.5
+) -> int:
+    """Smallest bucket count B whose B(B+1)/2 grid cells give the
+    hottest day its fair share of reducers: a day carrying
+    ``hot_share`` of the total pair work (Σ m_d² proxy, m_d = profile
+    rows on day d) deserves ``hot_share × parallelism`` reducers, and
+    one day's pair work lands on B(B+1)/2 cells. ``slack`` keeps the
+    grid OFF until the overflow is worth its price — blocking costs
+    B× replication shuffle plus ~2-3× pair-row fan (measured 4.4×
+    wall on the ×4 stress where it bought nothing), so a hot day must
+    exceed its fair share by ≥1.5× before B grows. B=1 — the flat
+    day-only join, zero replication — whenever distinct-day
+    parallelism covers the load (uniform 30 days on 32 reducers →
+    1.07 cells → B=1); a 50%-hot day on 32 reducers → B=5 (15
+    cells); 30 uniform days on 8000 reducers (the 1000-executor
+    shape) → B=19 (190 cells). Pure math, pinned without Spark by
+    tests/test_plan_shapes.py."""
+    cells = hot_share * parallelism
+    b = 1
+    while b < cap and b * (b + 1) / 2 * slack < cells:
+        b += 1
+    return b
+
+
 def user_activity_similarity(
-    e: DataFrame, buckets: int = 8, top_k: int = 5
+    e: DataFrame, buckets: int | None = None, top_k: int = 5
 ) -> DataFrame:
     """The q_user_activity_similarity pipeline over a caller-supplied
     events frame (user_id, ts) — the seam the hypothesis property test
     drives with random corpora (tests/test_property_fuzz.py pins the
     grid-blocked pair join against a brute-force cosine top-k
-    reference). Semantics documented on the registered query above."""
+    reference for B ∈ {1, 2, 3, 8}; the RESULT is B-invariant since
+    dot products are integer sums). ``buckets=None`` selects B
+    adaptively via grid_buckets_for from the measured hottest-day
+    pair-work share; an explicit B pins the physical shape (tests,
+    stress harness). Semantics documented on the registered query
+    above."""
     from pyspark.sql.window import Window
 
     from ..caching import managed_persist
@@ -591,6 +632,24 @@ def user_activity_similarity(
         e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if buckets is None:
+        # Deliberate plan-build stats action over the PERSISTED slim
+        # profile (output is ~#days rows): hottest day's share of the
+        # Σ m² pair-work proxy → bucket count. Empty/degenerate input
+        # → flat join.
+        day_m2 = ud.groupBy("day").count().select(
+            (F.col("count").cast("double") * F.col("count")).alias("m2")
+        )
+        stats = day_m2.agg(
+            F.max("m2").alias("mx"), F.sum("m2").alias("tot")
+        ).first()
+        parallelism = int(
+            e.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        if stats is None or not stats["tot"]:
+            buckets = 1
+        else:
+            buckets = grid_buckets_for(stats["mx"] / stats["tot"], parallelism)
     norms = ud.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm"))
     B = buckets  # user-hash buckets → B(B+1)/2 cells per day (36 at 8)
     grid = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("g")

@@ -156,6 +156,25 @@ def wl_stream_flagship(spark, sf_dir, k):
     return run_to_memory(spark, joined, output_mode="append")
 
 
+def wl_user_similarity(spark, sf_dir, k, buckets=8):
+    """Grid-blocked day self-join under K× users on the SAME ~30 days:
+    per-day active users grow K×, per-day pair work K² — the hot-day
+    skew shape the grid blocking exists for (the blocking
+    redistributes inherent n²/day compare work over B(B+1)/2 reducers
+    per day; it does not prune it). ``buckets=1`` degenerates to the
+    plain day-only self-join — one partition per distinct day, ~30
+    reducers for ALL pair work regardless of cluster size — giving the
+    direct skew comparison at identical semantics."""
+    from evaluate_human_balance_with_spark_streaming_spark.plans import analytics_ext
+
+    e = replicated(load_table(spark, sf_dir, "events"), k, id_cols=("user_id",))
+    return analytics_ext.user_activity_similarity(e, buckets=buckets)
+
+
+def wl_user_similarity_flat(spark, sf_dir, k):
+    return wl_user_similarity(spark, sf_dir, k, buckets=1)
+
+
 def wl_cc_clusters(spark, sf_dir, k):
     """Connected components over the K×-replicated LSH pair set — the
     iterative operator under a pair graph that grows ~K² per component
@@ -182,21 +201,39 @@ WORKLOADS = [
     ("simhash_pairs", wl_simhash_pairs),
     ("cc_clusters", wl_cc_clusters),
     ("ann_ivf", wl_ann_ivf),
+    ("user_sim_grid", wl_user_similarity),
+    ("user_sim_flat", wl_user_similarity_flat),
     ("stream_flagship", wl_stream_flagship),
 ]
 
 
 def main() -> None:
+    # Args: [sf_dir] [K ...] [name-substring ...] in any order after
+    # sf_dir — integers are replication factors, anything else filters
+    # WORKLOADS by substring (so one workload can be re-measured
+    # without repeating the whole sweep).
     args = sys.argv[1:]
-    sf_dir = args.pop(0) if args and not args[0].isdigit() else "/root/testdata/sf0.1"
-    ks = [int(a) for a in args] or [1, 10]
+    sf_dir = (
+        args.pop(0)
+        if args and not args[0].isdigit() and os.path.isdir(args[0])
+        else "/root/testdata/sf0.1"
+    )
+    ks = [int(a) for a in args if a.isdigit()] or [1, 10]
+    name_filters = [a for a in args if not a.isdigit()]
+    workloads = [
+        (n, fn)
+        for n, fn in WORKLOADS
+        if not name_filters or any(f in n for f in name_filters)
+    ]
+    if not workloads:
+        raise SystemExit(f"no workload matches {name_filters}")
     spark = get_spark("stress-scale")
     # Warm the session once (scan + codegen + python-free agg path) so
     # K=1 doesn't absorb cold-start and the K ratio stays honest.
     load_table(spark, sf_dir, "lineitem").count()
     print(f"{'workload':<18} {'K':>3} {'wall_s':>8} {'rows':>10}")
     results: dict[str, dict[int, float]] = {}
-    for name, fn in WORKLOADS:
+    for name, fn in workloads:
         for k in ks:
             release_managed()
             t = time.time()

@@ -125,20 +125,24 @@ def test_ensure_min_partitions_without_rdd_probe(spark, sf_dir, monkeypatch):
 
 def test_user_similarity_pair_join_is_grid_blocked(spark, sf_dir):
     """VERDICT r03 item 4: the time-series-similarity self-join must
-    not partition on the low-cardinality day key alone (parallelism
-    would cap at ~30 distinct days and a popular day is one hot
-    partition). The pair join's exchanges must carry the grid-cell
-    columns next to day — B(B+1)/2 reducers per day. Auto-broadcast
-    is disabled to surface the shuffle keys the join requires at
-    scale (at test scale one grid side is broadcast-sized)."""
+    not cap parallelism at distinct-day cardinality when a hot day
+    overflows one reducer. The pair join's exchanges must carry the
+    grid-cell columns next to day — B(B+1)/2 reducers per day (pinned
+    at explicit B=8: the mechanism). Auto-broadcast is disabled to
+    surface the shuffle keys the join requires at scale (at test
+    scale one grid side is broadcast-sized)."""
     from evaluate_human_balance_with_spark_streaming_spark.plans.analytics_ext import (
-        q_user_activity_similarity,
+        user_activity_similarity,
     )
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = explain_str(q_user_activity_similarity(spark, sf_dir))
+        plan = explain_str(
+            user_activity_similarity(
+                load_table(spark, sf_dir, "events"), buckets=8
+            )
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     import re
@@ -149,6 +153,34 @@ def test_user_similarity_pair_join_is_grid_blocked(spark, sf_dir):
     assert len(grid_exchanges) >= 2  # both pair-join sides
     # And no exchange partitions on day alone.
     assert not re.search(r"hashpartitioning\(day#\d+, \d+\)", plan)
+
+
+def test_user_similarity_bucket_chooser():
+    """The adaptive bucket rule (grid_buckets_for): blocking engages
+    exactly when the hottest day's pair-work share exceeds one
+    reducer's fair share — measured on the ×4 stress, always-on B=8
+    cost 4.4× the flat join where 30 uniform days already saturated
+    32 cores (SCALING.md). Pure math, no Spark session."""
+    from evaluate_human_balance_with_spark_streaming_spark.plans.analytics_ext import (
+        grid_buckets_for,
+    )
+
+    # Uniform 30 days on 32 reducers: day-parallelism suffices (1.07
+    # cells, inside the 1.5x engage slack) → flat.
+    assert grid_buckets_for(1 / 30, 32) == 1
+    # The bench regime (tests run at 8 shuffle partitions) → flat too.
+    assert grid_buckets_for(1 / 30, 8) == 1
+    # One day carrying half the pair work on 32 reducers → a real
+    # spread (≥10 cells within slack of the 16-cell fair share).
+    b = grid_buckets_for(0.5, 32)
+    assert b * (b + 1) / 2 * 1.5 >= 16 and 4 <= b <= 8
+    # 1000-executor shape: 30 uniform days, 8000 reducers → B ≈ 19.
+    b = grid_buckets_for(1 / 30, 8000)
+    assert b * (b + 1) / 2 * 1.5 >= 8000 / 30
+    assert 10 <= b <= 30
+    # Degenerate single-day corpus on many reducers hits the cap, not
+    # an unbounded loop.
+    assert grid_buckets_for(1.0, 10**9) == 64
 
 
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
