@@ -101,14 +101,26 @@ def _probe_settled(
     3.0 → 2.7 → 0.6 s while the tiered compiler drains) has a FALSE
     PLATEAU at ~3 s where consecutive reps agree within 10% yet sit 5x
     above steady state; only the frozen baseline can tell that plateau
-    from the real floor. On a genuinely degraded box the target is
+    from the real floor. With NO baseline (target_s None — the
+    first-ever recording) this returns False unconditionally so the
+    caller runs all max_reps: settling early on a local criterion
+    would record a mid-descent rep as the baseline that inflates
+    every future bar. On a genuinely degraded box the target is
     never reached, the caller runs to max_reps, and the min measures
     the contention — which is exactly what drift credit + the rep
     series in the artifact adjudicate. Pure so the gate tests pin it
     without a Spark session."""
+    if target_s is None:
+        # No recorded baseline (first-ever recording): there is no
+        # anchor that can tell the false plateau from the real floor
+        # — every local criterion (latest-vs-min, last-two-agreement)
+        # is satisfied by the measured slow-descent curve, and a
+        # baseline recorded mid-descent would inflate every future
+        # bar. Never settle early; the caller runs all max_reps.
+        return False
     if len(series) < min_reps or series[-1] > stable_ratio * min(series):
         return False
-    return target_s is None or min(series) <= stable_ratio * target_s
+    return min(series) <= stable_ratio * target_s
 
 
 def calibration_probe(
@@ -173,6 +185,9 @@ def _read_bench_json(path: str) -> dict:
     return d.get("parsed") or d
 
 
+_DEFAULT_ARTIFACTS_CACHE: dict[str, list[dict]] = {}
+
+
 def _baseline_artifacts(here: str | None = None) -> list[dict]:
     """Baseline sources in increasing precedence: hand-maintained EXTRA
     (queries added after the last recording) < newest driver BENCH_r
@@ -188,7 +203,19 @@ def _baseline_artifacts(here: str | None = None) -> list[dict]:
     import re
 
     if here is None:
+        # The repo-root artifacts are read for the probes, the retry
+        # pre-check AND report_and_gate — memoize the default-path
+        # parse so a corrupt artifact's WARNING prints once per run,
+        # not once per consumer. Tests exercise explicit tmp dirs and
+        # are unaffected; the process is one bench run, so staleness
+        # is not a concern.
         here = os.path.dirname(os.path.abspath(__file__))
+        cached = _DEFAULT_ARTIFACTS_CACHE.get(here)
+        if cached is not None:
+            return cached
+        out = _baseline_artifacts(here)
+        _DEFAULT_ARTIFACTS_CACHE[here] = out
+        return out
     out: list[dict] = []
     extra_path = os.path.join(here, "BENCH_BASELINE_EXTRA.json")
     try:
@@ -414,10 +441,11 @@ def main() -> int:
     # warmups' background-JIT backlog before the first timed query
     # (otherwise that query absorbs it as a phantom regression); the
     # recorded probe baseline anchors "stable" so the settling curve's
-    # false plateau can't end the barrier early.
-    probe_pre, probe_pre_series = calibration_probe(
-        spark, target_s=_baseline_probe()
-    )
+    # false plateau can't end the barrier early. Baseline artifacts
+    # are read ONCE here and reused by both probes and the retry
+    # pre-check (report_and_gate re-reads through its own test seams).
+    probe_base = _baseline_probe()
+    probe_pre, probe_pre_series = calibration_probe(spark, target_s=probe_base)
 
     from evaluate_human_balance_with_spark_streaming_spark.caching import (
         release_managed,
@@ -459,9 +487,7 @@ def main() -> int:
     # max_reps), so the phantom-stall retries below run on a settled
     # box whenever one is available — retries taken DURING the stall
     # would just reproduce it.
-    probe_post, probe_post_series = calibration_probe(
-        spark, target_s=_baseline_probe()
-    )
+    probe_post, probe_post_series = calibration_probe(spark, target_s=probe_base)
 
     # Phantom-stall retry: the probe rep series has recorded isolated
     # ~20s reps amid 0.6s neighbors — intermittent host-level stalls
@@ -471,7 +497,7 @@ def main() -> int:
     # spread over the run is a real regression, not a stall. The gate
     # math itself is untouched — only the timing gets more attempts,
     # and the retried names land in the artifact.
-    drift_now = credited_drift(min(probe_pre, probe_post), _baseline_probe())
+    drift_now = credited_drift(min(probe_pre, probe_post), probe_base)
     flagged = [
         n
         for n in find_regressions(timings, _baseline_timings(), drift_now)
@@ -481,7 +507,19 @@ def main() -> int:
         best = timings[name]
         for _ in range(reps):
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            try:
+                qs[name](spark, sf_dir).count()
+            except Exception as e:
+                # A retry rep failing (e.g. a task lost to exactly the
+                # host stall being retried around) must not discard
+                # the whole run's artifact — the suite already has a
+                # valid timing for this query; gate on that.
+                print(
+                    f"# RETRY {name}: rep failed ({type(e).__name__}: "
+                    f"{str(e)[:160]}) — keeping suite timing",
+                    file=sys.stderr,
+                )
+                break
             best = min(best, round(time.time() - t0, 3))
         release_managed()
         print(
@@ -592,7 +630,16 @@ def report_and_gate(
                 "metric": "headline_suite_best_sum",
                 "value": total,
                 "unit": "sec",
-                "timing": f"per-query best of {reps}",
+                # The protocol field must describe what was actually
+                # recorded: retried queries carry best-of-2*reps (the
+                # extra attempts taken after the timed window; wall_s
+                # still covers only the main loop).
+                "timing": f"per-query best of {reps}"
+                + (
+                    f"; retried queries best of {2 * reps}"
+                    if retried
+                    else ""
+                ),
                 "wall_s": timed_wall,
                 "queries": timings,
                 "sf": sf,

@@ -581,6 +581,38 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_activity_similarity(load_table(spark, sf_dir, "events"))
 
 
+def measured_grid_buckets(profile: DataFrame) -> int:
+    """Bucket count for the grid-blocked pair self-join, measured from
+    the day-skew of ``profile`` — a (user_id, day, n) frame, normally
+    the query's already-persisted slim profile table. One deliberate
+    plan-build stats action (aggregate output is ~#days rows):
+    hottest day's share of the Σ m² pair-work proxy × the session's
+    reducer count → grid_buckets_for. Empty/degenerate input → 1 (the
+    flat join). Split out of user_activity_similarity so the
+    Spark-side plumbing (stats column access, conf lookup) is
+    integration-testable on corpora where it must pick B > 1 — the
+    registered query's own test-scale data always degenerates to
+    B=1."""
+    day_m2 = (
+        profile.groupBy("day")
+        .count()
+        .select((F.col("count").cast("double") * F.col("count")).alias("m2"))
+    )
+    stats = day_m2.agg(F.max("m2").alias("mx"), F.sum("m2").alias("tot")).first()
+    try:
+        parallelism = int(
+            profile.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (ValueError, TypeError):
+        # Platforms that auto-tune the conf report a non-numeric value
+        # (e.g. "auto"); fall back to the cluster's default parallelism
+        # rather than crashing the plan build.
+        parallelism = profile.sparkSession.sparkContext.defaultParallelism
+    if stats is None or not stats["tot"]:
+        return 1
+    return grid_buckets_for(stats["mx"] / stats["tot"], parallelism)
+
+
 def grid_buckets_for(
     hot_share: float, parallelism: int, cap: int = 64, slack: float = 1.5
 ) -> int:
@@ -633,23 +665,7 @@ def user_activity_similarity(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     if buckets is None:
-        # Deliberate plan-build stats action over the PERSISTED slim
-        # profile (output is ~#days rows): hottest day's share of the
-        # Σ m² pair-work proxy → bucket count. Empty/degenerate input
-        # → flat join.
-        day_m2 = ud.groupBy("day").count().select(
-            (F.col("count").cast("double") * F.col("count")).alias("m2")
-        )
-        stats = day_m2.agg(
-            F.max("m2").alias("mx"), F.sum("m2").alias("tot")
-        ).first()
-        parallelism = int(
-            e.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        if stats is None or not stats["tot"]:
-            buckets = 1
-        else:
-            buckets = grid_buckets_for(stats["mx"] / stats["tot"], parallelism)
+        buckets = measured_grid_buckets(ud)
     norms = ud.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm"))
     B = buckets  # user-hash buckets → B(B+1)/2 cells per day (36 at 8)
     grid = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("g")

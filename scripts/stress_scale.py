@@ -211,13 +211,16 @@ def main() -> None:
     # Args: [sf_dir] [K ...] [name-substring ...] in any order after
     # sf_dir — integers are replication factors, anything else filters
     # WORKLOADS by substring (so one workload can be re-measured
-    # without repeating the whole sweep).
+    # without repeating the whole sweep). Anything path-shaped (has a
+    # separator) is treated as the sf_dir and must EXIST: a mistyped
+    # directory must fail loudly, not silently demote to a name
+    # filter and record default-dataset numbers under the wrong label.
     args = sys.argv[1:]
-    sf_dir = (
-        args.pop(0)
-        if args and not args[0].isdigit() and os.path.isdir(args[0])
-        else "/root/testdata/sf0.1"
-    )
+    sf_dir = "/root/testdata/sf0.1"
+    if args and not args[0].isdigit() and (os.sep in args[0] or os.path.isdir(args[0])):
+        sf_dir = args.pop(0)
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"sf_dir does not exist: {sf_dir}")
     ks = [int(a) for a in args if a.isdigit()] or [1, 10]
     name_filters = [a for a in args if not a.isdigit()]
     workloads = [

@@ -195,6 +195,24 @@ def test_report_carries_calibration_and_load(monkeypatch, capsys):
         "sum_baseline": 2.0,
         "credited_drift": 1.25,
     }
+    # No retries → plain protocol string and empty retried list.
+    assert line["timing"] == "per-query best of 2"
+    assert line["retried"] == []
+
+
+def test_report_timing_field_reflects_retries(monkeypatch, capsys):
+    """Retried queries carry best-of-2*reps timings; the artifact's
+    protocol field must say so instead of claiming best-of-reps for
+    every number (review finding)."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    report_and_gate(
+        {"q": 1.2}, 1.2, 1.2, sf=0.1, reps=2, retried=["q"]
+    )
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["timing"] == "per-query best of 2; retried queries best of 4"
+    assert line["retried"] == ["q"]
 
 
 def test_gate_lenient_optout_and_clean_pass(monkeypatch, capsys):
@@ -244,9 +262,14 @@ def test_probe_settle_decision():
     assert _probe_settled([0.5, 0.52, 0.51], target_s=base)
     # Never before min_reps, even when flat and at target.
     assert not _probe_settled([0.5, 0.5], target_s=base)
-    # Without a recorded baseline (first-ever recording) the plateau
-    # criterion alone decides — best effort.
-    assert _probe_settled([0.5, 0.52, 0.51], target_s=None)
+    # Without a recorded baseline (first-ever recording) NOTHING can
+    # tell the false plateau from the floor, so the barrier never
+    # settles early — the caller runs all max_reps and the recording
+    # is made from a fully-drained JVM (review finding: a local
+    # criterion would record a mid-descent rep as the baseline that
+    # inflates every future bar).
+    assert not _probe_settled([0.5, 0.52, 0.51], target_s=None)
+    assert not _probe_settled([5.2, 3.2, 2.7], target_s=None)
     # A genuinely loaded box never reaches the target → caller runs to
     # max_reps and the min reflects the contention (that is what drift
     # credit + the artifact's rep series are for).

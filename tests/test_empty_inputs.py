@@ -31,14 +31,14 @@ import __spark_entry__ as entrymod
 
 
 @pytest.fixture(scope="module")
-def empty_sf_dir(spark, tmp_path_factory) -> str:
+def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
     """A directory shaped exactly like a driver sf dir — one
     <table>.parquet per table — holding zero rows each, schemas taken
-    from the real sf0.001 tables via load_table (so events.ts is the
-    post-conversion TimestampType, matching what queries see)."""
+    from the real test-scale tables via load_table (so events.ts is
+    the post-conversion TimestampType, matching what queries see)."""
     out = tmp_path_factory.mktemp("empty-sf")
     for name in TABLES:
-        load_table(spark, "/root/testdata/sf0.001", name).limit(0).write.mode(
+        load_table(spark, sf_dir, name).limit(0).write.mode(
             "overwrite"
         ).parquet(str(out / f"{name}.parquet"))
     return str(out)

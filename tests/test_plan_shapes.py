@@ -183,6 +183,39 @@ def test_user_similarity_bucket_chooser():
     assert grid_buckets_for(1.0, 10**9) == 64
 
 
+def test_user_similarity_adaptive_stats_plumbing(spark):
+    """The Spark side of the adaptive chooser (measured_grid_buckets:
+    day-count stats column access + conf lookup) must actually select
+    B>1 on a hot-day corpus — the registered query's test-scale data
+    always degenerates to B=1, so without this a swapped mx/tot or a
+    renamed stats column would pass every other test and silently
+    disable the grid at the scale it exists for (review finding)."""
+    from datetime import datetime
+
+    from evaluate_human_balance_with_spark_streaming_spark.plans.analytics_ext import (
+        measured_grid_buckets,
+    )
+
+    def profile(rows):
+        return (
+            spark.createDataFrame(rows, "user_id long, ts timestamp")
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    # Every user on ONE day: hot_share=1.0, tests run at 8 shuffle
+    # partitions → 8 cells wanted → B=3 (6 cells × 1.5 slack ≥ 8).
+    hot = profile([(u, datetime(2024, 1, 1, 12, 0, 0)) for u in range(60)])
+    assert measured_grid_buckets(hot) > 1
+    # Uniform 28 days: hot_share 1/28 on 8 reducers → flat join.
+    uniform = profile(
+        [(u, datetime(2024, 1, u % 28 + 1, 12, 0, 0)) for u in range(56)]
+    )
+    assert measured_grid_buckets(uniform) == 1
+    # Empty profile → flat join, no crash.
+    assert measured_grid_buckets(profile([])) == 1
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both fact tables on the join key lets the join run
     with ZERO exchanges — the co-located join strategy for repeated
