@@ -87,6 +87,32 @@ def test_minhash_lsh_finds_near_duplicate_pair(spark):
     assert pairs[0].jaccard > 0.5
 
 
+def test_all_identical_corpus_collapses_to_one_cluster(spark):
+    """The densest-bucket regime: EVERY doc byte-identical, so every
+    LSH band bucket holds the whole corpus and the candidate path
+    faces its maximal n(n-1)/2 fan-out (a web-crawl mirror storm — the
+    ×10 stress approximates it with salted near-dups; this pins the
+    exact-degenerate corner). The full pipeline must stay correct:
+    all pairs survive verification at Jaccard 1.0, connected
+    components collapses the clique to ONE cluster labeled by the min
+    id, and exact dedup keeps exactly one survivor."""
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        connected_components,
+        dedup_exact,
+    )
+
+    n = 40
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = docs_df(spark, [(i, text, "a") for i in range(n)])
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", 16, 4, 3, 0.5)
+    assert pairs.count() == n * (n - 1) // 2
+    assert pairs.filter(F.col("jaccard") < 1.0).count() == 0
+    clusters = connected_components(pairs).collect()
+    assert len(clusters) == n
+    assert {r.cluster_id for r in clusters} == {0}
+    assert dedup_exact(df, "text", "doc_id").count() == 1
+
+
 def test_ngram_jaccard_respects_blocking(spark):
     # Identical docs in DIFFERENT blocks must not pair.
     df = docs_df(spark, [(1, "x y z w", "a"), (2, "x y z w", "b")])
