@@ -95,9 +95,19 @@ def _estimated_scan_parallelism(df: DataFrame) -> int | None:
     est = len(files)
     for f in files:
         if f.startswith("file:"):
+            # inputFiles() returns URIs, not raw paths: percent-encoded
+            # characters (a space in sf_dir) or the file://host/ form
+            # must be decoded before stat'ing, else a multi-GB local
+            # file silently loses its per-128MB split credit and the
+            # helper adds a shuffle the scan's own splitting makes
+            # redundant (review finding).
+            from urllib.parse import unquote, urlparse
+
             try:
-                est += os.path.getsize(f.removeprefix("file:")) // _SPLIT_BYTES
-            except OSError:
+                est += (
+                    os.path.getsize(unquote(urlparse(f).path)) // _SPLIT_BYTES
+                )
+            except (OSError, ValueError):
                 pass
     return est
 
