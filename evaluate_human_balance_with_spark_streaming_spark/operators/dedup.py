@@ -47,7 +47,10 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def with_shingles(
-    df: DataFrame, text_col: str, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    shingle_n: int = 3,
+    keep: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Append a ``_shingles`` array column, dropping docs with none
     (no similarity signal). Persisted: the shingle table feeds both
@@ -55,12 +58,19 @@ def with_shingles(
     would otherwise inline the shingling expression into every
     consumer (measured 21× slower in round 1) — persist() is the hard
     barrier; at 100 TB the equivalent is a materialized shingle table.
-    A one-file scan is spread first so the hash sweep parallelizes."""
+    ``keep`` projects the persisted table to the named columns plus
+    ``_shingles`` — the slim-table discipline every other persist site
+    in this module follows (review finding: the unprojected form
+    cached a redundant copy of the document text that no downstream
+    consumer reads); None keeps every input column for callers that
+    need the full rows. A one-file scan is spread first so the hash
+    sweep parallelizes."""
     df = ensure_min_partitions(df)
     sh = word_shingles(F.col(text_col), shingle_n)
-    return managed_persist(
-        df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0)
-    )
+    out = df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0)
+    if keep is not None:
+        out = out.select(*keep, "_shingles")
+    return managed_persist(out)
 
 
 def _verify_jaccard(
@@ -149,7 +159,7 @@ def minhash_lsh_pairs(
             f"{num_hashes}, bands={bands}"
         )
     rows_per_band = num_hashes // bands
-    base = with_shingles(df, text_col, shingle_n)
+    base = with_shingles(df, text_col, shingle_n, keep=(id_col,))
     # Persisted slim signature table: consumed by both sides of the
     # band self-join (recomputing the signature per consumer measured
     # 3-4× the whole pipeline in round 1); released by the query
@@ -265,6 +275,15 @@ def ngram_jaccard_pairs(
     prefix_len = (
         F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)) + 1
     )
+    # Deliberately NOT persisted although both sides of the candidate
+    # self-join consume it: the two sides are alias-identical plans, so
+    # ReuseExchange dedupes their shuffles at the physical layer and
+    # the prefix pipeline executes once either way — unlike `sig` in
+    # minhash_lsh_pairs, whose two consumers (banding explode vs
+    # verify) are NOT canonically identical subtrees. Measured at the
+    # ×10 dup-stress (same box, back-to-back): persist 124.2 s vs
+    # reuse-exchange 101.6 s — the cache only added ~5M-row
+    # materialization cost on the operator's hot path.
     pref = (
         ex.join(freq, ["blk", "s"])
         .withColumn("rn", rn)
@@ -482,6 +501,34 @@ _SQL_SHINGLES3 = (
 )
 _SQL_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
 
+# The full MinHash candidate pipeline (shingle → signature → banding →
+# candidate join) as ONE shared CTE block: the pairs oracle and the
+# clusters oracle both replay it, and the hand-copied twin let the two
+# correctness contracts drift independently (review finding — the
+# shared _SQL_* fragments exist for exactly this reason).
+_SQL_MINHASH_CAND_CTES = f"""sh AS (
+            SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+            FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+            WHERE len(w) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   [list_aggregate([('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15))::BIGINT
+                                    for s in shingles], 'min')
+                    for k in range(0, 16)] AS mh
+            FROM sh
+        ),
+        banded AS (
+            SELECT doc_id, b.band,
+                   md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS bkey
+            FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+            WHERE a.doc_id < b.doc_id
+        )"""
+
 
 @register(
     "dedup_exact",
@@ -503,28 +550,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, {_SQL_SHINGLES3} AS shingles
-            FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
-            WHERE len(w) >= 3
-        ),
-        sig AS (
-            SELECT doc_id,
-                   [list_aggregate([('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15))::BIGINT
-                                    for s in shingles], 'min')
-                    for k in range(0, 16)] AS mh
-            FROM sh
-        ),
-        banded AS (
-            SELECT doc_id, b.band,
-                   md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS bkey
-            FROM sig, (SELECT unnest(range(0, 4)) AS band) b
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-            WHERE a.doc_id < b.doc_id
-        )
+        WITH {_SQL_MINHASH_CAND_CTES}
         SELECT id_a, id_b, jaccard FROM (
             SELECT c.id_a, c.id_b,
                    ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
@@ -694,9 +720,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     # already materialized at full width. On a cluster-sized pair
     # graph, size this to cores instead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 4))
-    )
+    try:
+        pinned_parts = str(min(int(prev_parts), 4))
+    except (ValueError, TypeError):
+        # Auto-tuning platforms report a non-numeric value (e.g.
+        # "auto"); skip the small-round pinning rather than crash
+        # every clustering query — the rounds just run at whatever
+        # width the platform chooses.
+        pinned_parts = prev_parts
+    spark.conf.set("spark.sql.shuffle.partitions", pinned_parts)
     changed = 0
     try:
         # Each round MUST truncate the logical plan, not just cache
@@ -759,32 +791,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
 
 @register(
     "dedup_lsh_clusters",
-    oracle="""
-        WITH RECURSIVE sh AS (
-            SELECT doc_id,
-                   list_distinct([array_to_string(w[i:i+2], ' ')
-                                  for i in range(1, len(w) - 1)]) AS shingles
-            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                  FROM documents)
-            WHERE len(w) >= 3
-        ),
-        sig AS (
-            SELECT doc_id,
-                   [list_aggregate([('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15))::BIGINT
-                                    for s in shingles], 'min')
-                    for k in range(0, 16)] AS mh
-            FROM sh
-        ),
-        banded AS (
-            SELECT doc_id, b.band,
-                   md5(array_to_string(mh[b.band*4 + 1 : b.band*4 + 4], '|')) AS bkey
-            FROM sig, (SELECT unnest(range(0, 4)) AS band) b
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-            WHERE a.doc_id < b.doc_id
-        ),
+    oracle=f"""
+        WITH RECURSIVE {_SQL_MINHASH_CAND_CTES},
         pairs AS (
             SELECT id_a, id_b FROM (
                 SELECT c.id_a, c.id_b,
@@ -817,15 +825,17 @@ def q_dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components — the step that turns pairwise matches into
     keep-one-per-group dedup decisions. The oracle replays the whole
     pipeline including the graph closure (recursive CTE)."""
-    pairs = managed_persist(
-        minhash_lsh_pairs(
-            load_table(spark, sf_dir, "documents"),
-            "text",
-            "doc_id",
-            num_hashes=16,
-            bands=4,
-            shingle_n=3,
-            jaccard_threshold=0.5,
-        )
+    # No persist wrapper: connected_components consumes the pair set
+    # exactly once, via an eager localCheckpoint that materializes it
+    # as the edge blocks — a cache here would hold a dead second copy
+    # in executor memory until release (review finding).
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.5,
     )
     return connected_components(pairs)

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..caching import managed_persist
-from ..functions.vectors import cosine_similarity
 from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table
@@ -150,12 +149,30 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     # Assign each query to its n_probe nearest centroids
-    # (deterministic tiebreak).
+    # (deterministic tiebreak). Norms are HOISTED out of the per-pair
+    # expression (review finding — the inline cosine_similarity
+    # re-folded l2_norm(qv) once per (query, centroid) PAIR): qn is
+    # projected once per query on the streamed side, ctn once per
+    # centroid below the broadcast exchange (which materializes its
+    # child before broadcasting) — |Q|+C folds instead of |Q|×C.
+    # Projects don't collapse across the join boundary, so no persist
+    # barrier is needed here; qn then rides along into the scored
+    # stage instead of being re-folded per assigned row.
     assigned = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cosine_similarity(F.col("qv"), F.col("centroid")))
+        q.crossJoin(
+            F.broadcast(
+                centroids.withColumn("ctn", l2_norm(F.col("centroid")))
+            )
+        )
+        .withColumn(
+            "csim",
+            F.try_divide(
+                dot_product(F.col("qv"), F.col("centroid")),
+                F.col("qn") * F.col("ctn"),
+            ),
+        )
         .withColumn(
             "crank",
             F.row_number().over(
@@ -165,8 +182,7 @@ def ivf_topk(
             ),
         )
         .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "cell")
-        .withColumn("qn", l2_norm(F.col("qv")))
+        .select("query_id", "qv", "qn", "cell")
     )
     scored = (
         c.join(F.broadcast(assigned), "cell")
