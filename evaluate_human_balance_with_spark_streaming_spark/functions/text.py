@@ -12,10 +12,24 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Whitespace as an EXPLICIT character class, not `\s` — Java regex
+# (Spark) counts vertical tab \x0B as \s, RE2 (the DuckDB oracles)
+# does not, so the shorthand silently diverges cross-engine on any
+# document containing \x0B and flips every downstream value hash
+# (token counts, fingerprints, language gates). The two constants
+# below spell the SAME set in each engine's syntax; every whitespace
+# regex on either side must be built from them. (Latent-only today —
+# the driver fixtures contain no \x0B — pinned by a \x0B parity test
+# in tests/test_operators.py.)
+WS_CHARS = r" \t\n\r\f\x0B"  # Java regex spelling (Spark side)
+SQL_WS_CHARS = r" \t\n\r\f\v"  # RE2 spelling (DuckDB oracle side)
+WS = f"[{WS_CHARS}]"
+SQL_WS = f"[{SQL_WS_CHARS}]"
+
 
 def collapse_whitespace(col: Column) -> Column:
     """Trim + collapse runs of whitespace to single spaces."""
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, WS + "+", " "))
 
 
 def normalize_text(col: Column) -> Column:
@@ -26,7 +40,7 @@ def normalize_text(col: Column) -> Column:
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens of the trimmed text (array<string>)."""
-    return F.split(F.trim(col), r"\s+")
+    return F.split(F.trim(col), WS + "+")
 
 
 def fingerprint_md5(col: Column) -> Column:

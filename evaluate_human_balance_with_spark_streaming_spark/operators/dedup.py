@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..caching import managed_persist
 from ..functions.hashing import band_key, hex_digit_value, md5_seeded_int
-from ..functions.text import fingerprint_md5, tokens, word_shingles
+from ..functions.text import SQL_WS, fingerprint_md5, tokens, word_shingles
 from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table
@@ -499,7 +499,7 @@ _SQL_SHINGLES3 = (
     "list_distinct([array_to_string(w[i:i+2], ' ') "
     "for i in range(1, len(w) - 1)])"
 )
-_SQL_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_WORDS = f"regexp_split_to_array(trim(text), '{SQL_WS}+')"
 
 # The full MinHash candidate pipeline (shingle → signature → banding →
 # candidate join) as ONE shared CTE block: the pairs oracle and the
@@ -532,8 +532,8 @@ _SQL_MINHASH_CAND_CTES = f"""sh AS (
 
 @register(
     "dedup_exact",
-    oracle="""
-        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    oracle=f"""
+        SELECT md5(trim(regexp_replace(lower(text), '{SQL_WS}+', ' ', 'g'))) AS fp,
                MIN(doc_id) AS doc_id,
                COUNT(*) AS n_copies
         FROM documents
@@ -579,10 +579,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    oracle="""
+    oracle=f"""
         WITH toks AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                   unnest(regexp_split_to_array(trim(text), '{SQL_WS}+')) AS tok
             FROM documents
         ),
         contribs AS (
@@ -621,12 +621,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
         WITH sh AS (
             SELECT doc_id, source AS blk,
                    list_distinct([array_to_string(w[i:i+1], ' ')
                                   for i in range(1, len(w))]) AS s
-            FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '{SQL_WS}+') AS w
                   FROM documents)
             WHERE len(w) >= 2
         )

@@ -19,6 +19,7 @@ deterministic fake for the 'raw' type used by tests. Everything
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -165,9 +166,10 @@ def _payload_features(raw: bytes) -> tuple[int, float, str]:
     """Row-level deterministic fake features (byte_len, mean_byte,
     md5-prefix crc) — SINGLE definition shared by every mapInPandas
     pass so the oracle-certified fused path and the standalone path
-    cannot drift apart."""
-    import hashlib
-
+    cannot drift apart. hashlib is imported at module scope: this
+    function runs once per ROW inside the Arrow batch hot loop, and a
+    function-local import pays a sys.modules lookup per row (review
+    finding)."""
     return (
         len(raw),
         (sum(raw) / len(raw)) if len(raw) else 0.0,
@@ -347,7 +349,6 @@ def featurize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
     boundary once). Emits deterministic features (mean byte, md5
     prefix) plus the stride-resize digest, all oracle-reproducible
     because payloads here are utf-8 text."""
-    import hashlib
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..caching import managed_persist
 from ..functions.hashing import hash_bucket, sql_hash_bucket
-from ..functions.text import fingerprint_md5, tokens
+from ..functions.text import SQL_WS, SQL_WS_CHARS, WS, WS_CHARS, fingerprint_md5, tokens
 from ..plans.registry import register
 from ..sources.testdata import load_table
 
@@ -45,7 +45,7 @@ def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
             F.split(
                 F.regexp_replace(
                     F.col(text_col),
-                    r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])",
+                    f"([A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}])",
                     "$1\x01",
                 ),
                 "\x01",
@@ -56,7 +56,7 @@ def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
     # Total token length == non-whitespace char count for a whitespace
     # tokenizer; the regexp form stays in codegen where the equivalent
     # aggregate(toks, ...) fold is interpreted per element.
-    nonspace = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    nonspace = F.length(F.regexp_replace(F.trim(F.col(text_col)), WS + "+", ""))
     # Plain division, no zero-guard: a whitespace split never returns an
     # empty array for non-null text (split('') = ['']), and NULL text
     # must propagate NULL exactly like the oracle's nonspace/n_tokens —
@@ -103,11 +103,11 @@ def with_stopword_ratio(df: DataFrame, text_col: str) -> DataFrame:
     oracle=f"""
         WITH base AS (
             SELECT doc_id, lang, text,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_split_to_array(trim(text), '{SQL_WS}+')) AS n_tokens,
                    length(text) AS n_chars,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-                   length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace,
-                   regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                   length(regexp_replace(trim(text), '{SQL_WS}+', '', 'g')) AS nonspace,
+                   regexp_split_to_array(lower(trim(text)), '{SQL_WS}+') AS w
             FROM documents
         )
         SELECT doc_id,
@@ -116,21 +116,27 @@ def with_stopword_ratio(df: DataFrame, text_col: str) -> DataFrame:
                CAST(len(list_filter(
                    string_split(
                        regexp_replace(text,
-                           '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])',
+                           '([A-Za-z]+|[0-9]+|[^A-Za-z0-9{SQL_WS_CHARS}])',
                            '\\1' || chr(1), 'g'),
                        chr(1)),
                    t -> trim(t) <> '')) AS INTEGER) AS bpe_tokens,
                ROUND(alpha::DOUBLE / greatest(n_chars, 1), 6) AS alpha_ratio,
+               ROUND(
+                   length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
+                   / greatest(n_chars, 1), 6
+               ) AS punct_ratio,
                ROUND(nonspace::DOUBLE / n_tokens, 6) AS avg_word_len,
                ROUND(
                    least(n_tokens, 100) / 100.0 * 0.5
                    + (alpha::DOUBLE / greatest(n_chars, 1)) * 0.5, 6
                ) AS quality,
+               CAST(len(list_intersect(list_distinct(w), {_SQL_STOPWORDS}))
+                    AS INTEGER) AS distinct_stopwords,
                lang AS label_lang,
                CASE WHEN len(list_filter(w, t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE
                          / greatest(len(w), 1) > 0.08
                     THEN 'en' ELSE 'other' END AS predicted_lang,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+               md5(trim(regexp_replace(lower(text), '{SQL_WS}+', ' ', 'g'))) AS fingerprint
         FROM base
     """,
     tags=("text", "quality", "langid", "tokenizer", "fingerprint", "battery"),
@@ -156,8 +162,10 @@ def q_text_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars_computed",
         "bpe_tokens",
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("avg_word_len", 6).alias("avg_word_len"),
         F.round("quality", 6).alias("quality"),
+        "distinct_stopwords",
         F.col("lang").alias("label_lang"),
         F.when(F.col("stopword_ratio") > 0.08, F.lit("en"))
         .otherwise(F.lit("other"))
@@ -168,10 +176,10 @@ def q_text_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf_top_term",
-    oracle="""
+    oracle=f"""
         WITH toks AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                   unnest(regexp_split_to_array(lower(trim(text)), '{SQL_WS}+')) AS term
             FROM documents
         ),
         tf AS (
@@ -207,31 +215,35 @@ def q_text_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-distinctive term per document by TF-IDF (smoothed idf =
-    ln((N+1)/(df+1))). Plan shape at scale: one explode pass feeds two
-    aggregates (term frequency; document frequency); document frequency
-    is a short (term, df) table joined back broadcast; N is a scalar
-    broadcast. No all-pairs anything; the per-doc top-1 is a
-    WindowGroupLimit."""
+    ln((N+1)/(df+1))). Plan shape at scale: ONE explode pass feeds the
+    term-frequency aggregate; document frequency and per-doc length
+    both derive from that persisted tf table (short rows); the (term,
+    df) table joins back broadcast; N is a scalar broadcast. No
+    all-pairs anything; the per-doc top-1 is a WindowGroupLimit."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    # Persist barriers: toks feeds BOTH aggregates (tf and document
-    # frequency) and tf feeds BOTH doclen and the scoring join — each
-    # unpersisted consumer re-runs the corpus scan + explode (the
-    # recompute-per-consumer trap with_shingles documents; at 100 TB
-    # the equivalents are materialized token/term-frequency tables).
-    # Released by the query wrapper after evaluation.
-    toks = managed_persist(
-        d.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-        )
+    # Persist barrier on tf only: it feeds doclen, document frequency
+    # AND the scoring join — each unpersisted consumer would re-run
+    # the corpus scan + explode (the recompute-per-consumer trap
+    # with_shingles documents; at 100 TB the equivalent is a
+    # materialized term-frequency table). Released by the query
+    # wrapper after evaluation.
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS + "+")).alias("term"),
     )
     tf = managed_persist(
         toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
     )
     doclen = tf.groupBy("doc_id").agg(F.sum("tc").alias("n_toks"))
-    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # Document frequency from the PERSISTED tf table, not a
+    # countDistinct re-aggregation of the exploded tokens: tf rows are
+    # already distinct (doc_id, term) pairs, so a plain count per term
+    # is the same df without a second full pass over the exploded
+    # corpus or a two-phase distinct (review finding). With tf as its
+    # only consumer, toks needs no persist barrier of its own.
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Corpus size as a broadcast scalar subplan — NOT d.count(): a
     # driver-side action during plan construction forces a job per
     # build (the anti-pattern VERDICT r01 flagged on ivf_topk).
@@ -352,12 +364,12 @@ def q_text_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH scored AS (
             SELECT doc_id, text,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_split_to_array(trim(text), '{SQL_WS}+')) AS n_tokens,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
                        / greatest(length(text), 1) AS alpha_ratio,
-                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '{SQL_WS}+'),
                                    t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE
-                       / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+                       / greatest(len(regexp_split_to_array(trim(text), '{SQL_WS}+')), 1)
                        AS stop_ratio
             FROM documents
         ),
@@ -369,7 +381,7 @@ def q_text_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped AS (
             SELECT MIN(doc_id) AS doc_id, MAX(n_tokens) AS n_tokens
             FROM kept
-            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            GROUP BY md5(trim(regexp_replace(lower(text), '{SQL_WS}+', ' ', 'g')))
         )
         SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens
         FROM deduped

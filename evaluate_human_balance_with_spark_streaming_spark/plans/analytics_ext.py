@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .registry import register
+from ..functions.text import SQL_WS, WS
 
 
 @register(
@@ -350,9 +351,9 @@ def q_event_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_top_words",
-    oracle="""
+    oracle=f"""
         WITH words AS (
-            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '{SQL_WS}+')) AS word
             FROM documents
         )
         SELECT word, COUNT(*) AS n
@@ -369,7 +370,7 @@ def q_text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined before its single shuffle."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), WS + "+")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())

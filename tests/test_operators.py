@@ -87,6 +87,34 @@ def test_minhash_lsh_finds_near_duplicate_pair(spark):
     assert pairs[0].jaccard > 0.5
 
 
+def test_vertical_tab_whitespace_parity(spark):
+    """Java regex \\s includes vertical tab \\x0B, RE2 (DuckDB) \\s
+    does not — the shorthand silently diverged cross-engine on any
+    document containing \\x0B (review finding; latent with current
+    fixtures). Both sides now spell whitespace as explicit class
+    constants (functions/text.py WS / SQL_WS); this pins that a
+    \\x0B-containing document tokenizes identically in both engines."""
+    import duckdb
+
+    from evaluate_human_balance_with_spark_streaming_spark.functions.text import (
+        SQL_WS,
+        tokens as ws_tokens,
+    )
+
+    text = "a\x0Bb  c"
+    n_spark = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.size(ws_tokens(F.col("text"))).alias("n"))
+        .collect()[0]
+        .n
+    )
+    n_duck = duckdb.sql(
+        "SELECT len(regexp_split_to_array(trim('a' || chr(11) || 'b  c'), "
+        f"'{SQL_WS}+'))"
+    ).fetchone()[0]
+    assert n_spark == n_duck == 3
+
+
 def test_all_identical_corpus_collapses_to_one_cluster(spark):
     """The densest-bucket regime: EVERY doc byte-identical, so every
     LSH band bucket holds the whole corpus and the candidate path
