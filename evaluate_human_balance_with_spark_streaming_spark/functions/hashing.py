@@ -106,7 +106,15 @@ def simhash32(tokens_col: Column) -> Column:
 
     Expressed with aggregate() over the token array so the whole hash
     is one codegen'd expression per row — no explode, no shuffle.
+    Null tokens are FILTERED before the fold: md5(NULL) is NULL and
+    one null element would poison every bit's accumulator to NULL →
+    hash 0, silently diverging from the batch twin (whose explode +
+    F.sum path IGNORES nulls, SQL-aggregate style) and matching every
+    other null-poisoned doc as a 0-distance near-dup (review finding;
+    equivalence incl. null elements pinned by the shared-twin test).
     """
+    tokens_col = F.filter(tokens_col, lambda t: t.isNotNull())
+
     def bit_of(tok: Column, j: int) -> Column:
         digit = hex_digit_value(F.substring(F.md5(tok), j // 4 + 1, 1))
         return F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))

@@ -38,9 +38,24 @@ def normalize_text(col: Column) -> Column:
     return collapse_whitespace(F.lower(col))
 
 
+def ws_trim(col: Column) -> Column:
+    """Strip leading/trailing whitespace of the FULL class — F.trim
+    strips ASCII spaces only, so tab/newline-edged text left empty
+    edge tokens in every split (review finding, verified by
+    execution: tokens('\\tfoo bar') was ['', 'foo', 'bar'], and
+    word_shingles then built degenerate ' foo'-style shingles).
+    ``SQL_WS_TRIM_TEXT`` below is the DuckDB twin for the `text`
+    column; every split-feeding trim must use this PAIR, never bare
+    trim()."""
+    return F.regexp_replace(col, f"^{WS}+|{WS}+$", "")
+
+
+SQL_WS_TRIM_TEXT = f"regexp_replace(text, '^{SQL_WS}+|{SQL_WS}+$', '', 'g')"
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens of the trimmed text (array<string>)."""
-    return F.split(F.trim(col), WS + "+")
+    return F.split(ws_trim(col), WS + "+")
 
 
 def fingerprint_md5(col: Column) -> Column:

@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from ..caching import managed_persist
 from ..functions.hashing import band_key, hex_digit_value, md5_seeded_int
-from ..functions.text import SQL_WS, fingerprint_md5, tokens, word_shingles
+from ..functions.text import (
+    SQL_WS,
+    SQL_WS_TRIM_TEXT,
+    fingerprint_md5,
+    tokens,
+    word_shingles,
+)
 from ..plans.partitioning import ensure_min_partitions
 from ..plans.registry import register
 from ..sources.testdata import load_table
@@ -499,7 +505,7 @@ _SQL_SHINGLES3 = (
     "list_distinct([array_to_string(w[i:i+2], ' ') "
     "for i in range(1, len(w) - 1)])"
 )
-_SQL_WORDS = f"regexp_split_to_array(trim(text), '{SQL_WS}+')"
+_SQL_WORDS = f"regexp_split_to_array({SQL_WS_TRIM_TEXT}, '{SQL_WS}+')"
 
 # The full MinHash candidate pipeline (shingle → signature → banding →
 # candidate join) as ONE shared CTE block: the pairs oracle and the
@@ -582,7 +588,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH toks AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(text), '{SQL_WS}+')) AS tok
+                   unnest(regexp_split_to_array({SQL_WS_TRIM_TEXT}, '{SQL_WS}+')) AS tok
             FROM documents
         ),
         contribs AS (
@@ -626,7 +632,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, source AS blk,
                    list_distinct([array_to_string(w[i:i+1], ' ')
                                   for i in range(1, len(w))]) AS s
-            FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '{SQL_WS}+') AS w
+            FROM (SELECT doc_id, source, regexp_split_to_array({SQL_WS_TRIM_TEXT}, '{SQL_WS}+') AS w
                   FROM documents)
             WHERE len(w) >= 2
         )

@@ -15,7 +15,16 @@ from pyspark.sql import functions as F
 
 from ..caching import managed_persist
 from ..functions.hashing import hash_bucket, sql_hash_bucket
-from ..functions.text import SQL_WS, SQL_WS_CHARS, WS, WS_CHARS, fingerprint_md5, tokens
+from ..functions.text import (
+    SQL_WS,
+    SQL_WS_CHARS,
+    SQL_WS_TRIM_TEXT,
+    WS,
+    WS_CHARS,
+    fingerprint_md5,
+    tokens,
+    ws_trim,
+)
 from ..plans.registry import register
 from ..sources.testdata import load_table
 
@@ -50,7 +59,7 @@ def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
                 ),
                 "\x01",
             ),
-            lambda t: F.trim(t) != "",
+            lambda t: F.btrim(t, F.lit(" \t\n\r\f\x0b")) != "",
         )
     )
     # Total token length == non-whitespace char count for a whitespace
@@ -103,11 +112,11 @@ def with_stopword_ratio(df: DataFrame, text_col: str) -> DataFrame:
     oracle=f"""
         WITH base AS (
             SELECT doc_id, lang, text,
-                   len(regexp_split_to_array(trim(text), '{SQL_WS}+')) AS n_tokens,
+                   len(regexp_split_to_array({SQL_WS_TRIM_TEXT}, '{SQL_WS}+')) AS n_tokens,
                    length(text) AS n_chars,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
                    length(regexp_replace(trim(text), '{SQL_WS}+', '', 'g')) AS nonspace,
-                   regexp_split_to_array(lower(trim(text)), '{SQL_WS}+') AS w
+                   regexp_split_to_array(lower({SQL_WS_TRIM_TEXT}), '{SQL_WS}+') AS w
             FROM documents
         )
         SELECT doc_id,
@@ -119,7 +128,8 @@ def with_stopword_ratio(df: DataFrame, text_col: str) -> DataFrame:
                            '([A-Za-z]+|[0-9]+|[^A-Za-z0-9{SQL_WS_CHARS}])',
                            '\\1' || chr(1), 'g'),
                        chr(1)),
-                   t -> trim(t) <> '')) AS INTEGER) AS bpe_tokens,
+                   t -> trim(t, ' ' || chr(9) || chr(10) || chr(13)
+                                 || chr(12) || chr(11)) <> '')) AS INTEGER) AS bpe_tokens,
                ROUND(alpha::DOUBLE / greatest(n_chars, 1), 6) AS alpha_ratio,
                ROUND(
                    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE
@@ -179,7 +189,7 @@ def q_text_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH toks AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(lower(trim(text)), '{SQL_WS}+')) AS term
+                   unnest(regexp_split_to_array(lower({SQL_WS_TRIM_TEXT}), '{SQL_WS}+')) AS term
             FROM documents
         ),
         tf AS (
@@ -231,7 +241,7 @@ def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrapper after evaluation.
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS + "+")).alias("term"),
+        F.explode(F.split(ws_trim(F.lower(F.col("text"))), WS + "+")).alias("term"),
     )
     tf = managed_persist(
         toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
@@ -250,7 +260,7 @@ def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
         tf.join(doclen, "doc_id")
-        .join(F.broadcast(df_tbl), "term")
+        .join(df_tbl, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -364,12 +374,12 @@ def q_text_sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH scored AS (
             SELECT doc_id, text,
-                   len(regexp_split_to_array(trim(text), '{SQL_WS}+')) AS n_tokens,
+                   len(regexp_split_to_array({SQL_WS_TRIM_TEXT}, '{SQL_WS}+')) AS n_tokens,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
                        / greatest(length(text), 1) AS alpha_ratio,
-                   len(list_filter(regexp_split_to_array(lower(trim(text)), '{SQL_WS}+'),
+                   len(list_filter(regexp_split_to_array(lower({SQL_WS_TRIM_TEXT}), '{SQL_WS}+'),
                                    t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE
-                       / greatest(len(regexp_split_to_array(trim(text), '{SQL_WS}+')), 1)
+                       / greatest(len(regexp_split_to_array({SQL_WS_TRIM_TEXT}, '{SQL_WS}+')), 1)
                        AS stop_ratio
             FROM documents
         ),

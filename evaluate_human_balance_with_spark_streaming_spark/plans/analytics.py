@@ -7,8 +7,12 @@ the synthetic star schema, plus classic pricing/volume analytics that
 exercise multi-join planning at scale.
 
 Scale notes (100 TB discipline):
-- dimension joins (region/nation/customer/supplier/part) are broadcast
-  — dims stay small while facts grow, so no shuffle on the big side;
+- BOUNDED dims (region: 5 rows, nation: 25 rows at every SF) carry
+  explicit broadcast hints; SF-SCALING tables (customer/supplier/
+  part) join UNHINTED so the threshold/AQE broadcasts them while
+  they fit and degrades to shuffle joins at the 100 TB target — a
+  forced hint on a linearly-growing side would blow the 8 GB
+  broadcast hard limit (review finding);
 - aggregates are expressed as groupBy().agg() of built-ins, which
   Catalyst executes with map-side partial aggregation (HashAggregate
   partial → shuffle on group keys → final);
@@ -116,16 +120,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "sort", "limit"),
 )
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join + dimension join + top-k. customer is broadcast
-    (small dim); orders⋈lineitem shuffles on the shared order key only
-    once because the aggregate reuses the join partitioning. orderkey
-    tiebreaker makes LIMIT deterministic."""
+    """Fact-fact join + dimension join + top-k. customer joins
+    UNHINTED: unlike nation/region it scales linearly with the fact
+    tables (TPC-H SF), so a forced F.broadcast would exceed the 8 GB
+    broadcast hard limit at the 100 TB target — the threshold/AQE
+    picks broadcast while customer fits and falls back to a shuffle
+    join when it doesn't (review finding). orders⋈lineitem shuffles
+    on the shared order key only once because the aggregate reuses
+    the join partitioning. orderkey tiebreaker makes LIMIT
+    deterministic."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.join(o.filter(F.col("o_orderstatus") == "O"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "c_mktsegment")
         .agg(
             F.round(
@@ -158,9 +167,14 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style snowflake join: 4 dimension hops off the lineitem
-    fact, all broadcast, so the only shuffle is the final group-by —
-    the shape that survives a 1000-executor scale-up."""
+    """TPC-H-Q5-style snowflake join. nation/region are BOUNDED dims
+    (25/5 rows at every SF) and carry explicit broadcast hints; the
+    customer-derived `dims` side is deliberately UNHINTED — customer
+    scales linearly with the fact tables, so a forced broadcast would
+    blow the 8 GB broadcast limit at the 100 TB target (review
+    finding). The threshold/AQE still broadcasts `dims` while it
+    fits, keeping the only shuffle the final group-by locally, and
+    degrades to a shuffle join at scale."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -173,7 +187,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.round(
@@ -258,20 +272,6 @@ def q_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def top_events_per_user(df: DataFrame, k: int = 3) -> DataFrame:
-    """Per-user top-k events by value (row_number + unique tiebreaker).
-    Registry coverage: the row_number top-k pattern is exercised by
-    q_ranking_battery (rnum column) and text_sampling_battery."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
-    return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("user_id", "event_id", F.col("value").alias("score"))
-    )
-
-
 @register(
     "q_user_sessions_gap",
     oracle="""
@@ -331,16 +331,19 @@ def q_user_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate + windowed share-of-total: each supplier's quantity mix
-    across brands. Both dims broadcast; the window reuses the group-by
-    output (no extra wide shuffle of the fact)."""
+    across brands. supplier/part join UNHINTED — both scale linearly
+    with SF (unlike nation/region), so threshold/AQE broadcasts while
+    they fit and degrades to shuffle joins at the 100 TB target
+    (review finding); the window reuses the group-by output (no extra
+    wide shuffle of the fact)."""
     from pyspark.sql.window import Window
 
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
     grouped = (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("s_name", "p_brand")
         .agg(F.sum("l_quantity").alias("raw_qty"))
     )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .registry import register
-from ..functions.text import SQL_WS, WS
+from ..functions.text import SQL_WS, SQL_WS_TRIM_TEXT, WS, ws_trim
 
 
 @register(
@@ -210,11 +210,13 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT with an explicit value list (no discovery scan): order
-    counts per market segment × order status."""
+    counts per market segment × order status. customer joins UNHINTED
+    (it scales with SF — threshold/AQE broadcasts while it fits,
+    shuffle join beyond; review finding)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
@@ -353,7 +355,7 @@ def q_event_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_top_words",
     oracle=f"""
         WITH words AS (
-            SELECT unnest(regexp_split_to_array(lower(trim(text)), '{SQL_WS}+')) AS word
+            SELECT unnest(regexp_split_to_array(lower({SQL_WS_TRIM_TEXT}), '{SQL_WS}+')) AS word
             FROM documents
         )
         SELECT word, COUNT(*) AS n
@@ -370,7 +372,7 @@ def q_text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined before its single shuffle."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), WS + "+")).alias("word"))
+        d.select(F.explode(F.split(ws_trim(F.lower(F.col("text"))), WS + "+")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())
@@ -704,12 +706,15 @@ def user_activity_similarity(
         .agg(F.sum(F.col("na") * F.col("nb")).alias("dot"))
     )
     sims = (
+        # Norm joins UNHINTED: norms has one row per user, which grows
+        # with the corpus — threshold/AQE broadcasts while it fits and
+        # falls back to a shuffle join at scale (review finding).
         dots.join(
-            F.broadcast(norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))),
+            norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a")),
             "user_a",
         )
         .join(
-            F.broadcast(norms.select(F.col("user_id").alias("user_b"), F.col("norm").alias("norm_b"))),
+            norms.select(F.col("user_id").alias("user_b"), F.col("norm").alias("norm_b")),
             "user_b",
         )
         .withColumn("cosine", F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6))
@@ -745,7 +750,7 @@ def q_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag with default. One shuffle + one sort serves all seven functions
     (Spark computes same-spec window functions in a single Window
     operator). row_number + a filter is also the per-group top-k
-    pattern (see plans/analytics.py::top_events_per_user)."""
+    pattern."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)

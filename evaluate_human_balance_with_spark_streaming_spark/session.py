@@ -48,12 +48,36 @@ def default_parallelism() -> int:
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to an existing session (e.g. one
-    handed to us by the test driver)."""
+    handed to us by the test driver).
+
+    The sizing knobs are applied ONLY while the session still carries
+    Spark's stock default (review finding: the driver's bare
+    getOrCreate() session ran every certification query at 200
+    shuffle partitions and a 10 MB broadcast threshold — exactly the
+    local overhead get_spark's builder eliminates). A value the owner
+    set deliberately (tests at 8, bench at 32, connected_components'
+    temporary 4-pin) is never overridden."""
     for key, value in RUNTIME_CONF.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             # Some confs may be fixed by the session owner; never fail.
+            pass
+    sizing = {
+        "spark.sql.shuffle.partitions": (
+            {"200"},
+            str(default_parallelism()),
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": (
+            {"10485760", "10485760b", "10MB"},
+            str(64 * 1024 * 1024),
+        ),
+    }
+    for key, (stock, tuned) in sizing.items():
+        try:
+            if spark.conf.get(key) in stock:
+                spark.conf.set(key, tuned)
+        except Exception:
             pass
     return spark
 

@@ -486,7 +486,11 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         _email_from_custkey(F.col("c_custkey")).alias("email"),
         "c_mktsegment",
     )
+    # UNHINTED: the customer dim scales with SF — the threshold
+    # broadcasts it per micro-batch while it fits (the classic
+    # enrichment plan) and the stream-static equi-join degrades to a
+    # shuffle join beyond (review finding).
     enriched = risk_stream.join(
-        F.broadcast(dim), risk_stream["customer"] == dim["email"]
+        dim, risk_stream["customer"] == dim["email"]
     ).select("customer", "score", "c_mktsegment")
     return run_to_memory(spark, enriched)

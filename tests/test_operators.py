@@ -115,6 +115,65 @@ def test_vertical_tab_whitespace_parity(spark):
     assert n_spark == n_duck == 3
 
 
+def test_edge_whitespace_emits_no_empty_tokens(spark):
+    """trim()/F.trim strip ASCII spaces ONLY, so tab/newline-edged
+    text used to split into ['', 'foo', 'bar'] — inflating n_tokens
+    and feeding word_shingles degenerate ' foo'-style shingles
+    (review finding, verified by execution). Both engines now ws-trim
+    with the full class before splitting (functions/text.py ws_trim /
+    SQL_WS_TRIM_TEXT); all-whitespace text still yields the [''] both
+    engines produce for '' (the shape avg_word_len's no-zero-guard
+    relies on)."""
+    import duckdb
+
+    from evaluate_human_balance_with_spark_streaming_spark.functions.text import (
+        SQL_WS_TRIM_TEXT,
+        tokens as ws_tokens,
+        word_shingles,
+    )
+
+    rows = (
+        spark.createDataFrame([("\tfoo bar\n",), ("\t \n",)], "text string")
+        .select(
+            ws_tokens(F.col("text")).alias("t"),
+            word_shingles(F.col("text"), 2).alias("sh"),
+        )
+        .collect()
+    )
+    assert rows[0].t == ["foo", "bar"]
+    assert rows[0].sh == ["foo bar"]  # no degenerate edge shingle
+    assert rows[1].t == [""]  # all-ws == empty-text shape
+    duck = duckdb.sql(
+        f"SELECT regexp_split_to_array({SQL_WS_TRIM_TEXT}, '[ \t\n\r\f\\v]+') "
+        "FROM (SELECT chr(9) || 'foo bar' || chr(10) AS text)"
+    ).fetchone()[0]
+    assert list(duck) == ["foo", "bar"]
+
+
+def test_simhash32_ignores_null_tokens(spark):
+    """A null array element must be IGNORED, matching the batch twin's
+    explode + aggregate path (SQL aggregates skip nulls) — the
+    unfiltered fold null-poisoned every bit to hash 0, silently making
+    any null-containing doc a 0-distance near-dup of every other
+    (review finding, verified by execution)."""
+    from evaluate_human_balance_with_spark_streaming_spark.functions.hashing import (
+        simhash32,
+    )
+
+    r = (
+        spark.range(1)
+        .select(
+            simhash32(
+                F.array(F.lit("a"), F.lit(None).cast("string"), F.lit("b"))
+            ).alias("h_null"),
+            simhash32(F.array(F.lit("a"), F.lit("b"))).alias("h"),
+        )
+        .collect()[0]
+    )
+    assert r.h_null == r.h
+    assert r.h != 0
+
+
 def test_all_identical_corpus_collapses_to_one_cluster(spark):
     """The densest-bucket regime: EVERY doc byte-identical, so every
     LSH band bucket holds the whole corpus and the candidate path

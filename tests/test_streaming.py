@@ -128,14 +128,17 @@ def test_windowed_aggregate_streaming_matches_batch(spark, sf_dir):
     # n_users VALUES included, against an independently-expressed
     # reference (distinct rows → count, date_trunc instead of window;
     # a `>= 1` sanity bound would let a miswired countDistinct ship).
+    # Called through q_windowed_quality ITSELF — the batch entry
+    # point's own glue (load_table wiring + its extra_aggs call) must
+    # execute here, not a hand-built equivalent that would let the
+    # entry point rot uncovered (review finding).
+    from evaluate_human_balance_with_spark_streaming_spark.plans.analytics import (
+        q_windowed_quality,
+    )
+
     extra = {
         (r.window_day, r.event_type): (r.n_events, r.avg_value, r.n_users)
-        for r in windowed_quality(
-            events,
-            "ts",
-            "1 day",
-            extra_aggs=(F.countDistinct("user_id").alias("n_users"),),
-        ).collect()
+        for r in q_windowed_quality(spark, sf_dir).collect()
     }
     assert {k: v[:2] for k, v in extra.items()} == batch
     expected_users = {
