@@ -193,17 +193,22 @@ def wl_cc_clusters(spark, sf_dir, k):
     return dedup.connected_components(pairs)
 
 
+# (name, fn, max_k): max_k caps the replication factor this workload
+# will run at — the user_sim pair join's OUTPUT is ~(K × users/day)²
+# per day, which at K=10 is ~100M distinct pairs and drowns the local
+# JVM (measured; no blocking can prune output), so the default K=10
+# sweep must skip it rather than hang. None = no cap.
 WORKLOADS = [
-    ("lineitem_pricing", wl_lineitem_pricing),
-    ("exact_dedup", wl_exact_dedup),
-    ("minhash_lsh", wl_minhash_lsh),
-    ("ngram_jaccard", wl_ngram_jaccard),
-    ("simhash_pairs", wl_simhash_pairs),
-    ("cc_clusters", wl_cc_clusters),
-    ("ann_ivf", wl_ann_ivf),
-    ("user_sim_grid", wl_user_similarity),
-    ("user_sim_flat", wl_user_similarity_flat),
-    ("stream_flagship", wl_stream_flagship),
+    ("lineitem_pricing", wl_lineitem_pricing, None),
+    ("exact_dedup", wl_exact_dedup, None),
+    ("minhash_lsh", wl_minhash_lsh, None),
+    ("ngram_jaccard", wl_ngram_jaccard, None),
+    ("simhash_pairs", wl_simhash_pairs, None),
+    ("cc_clusters", wl_cc_clusters, None),
+    ("ann_ivf", wl_ann_ivf, None),
+    ("user_sim_grid", wl_user_similarity, 4),
+    ("user_sim_flat", wl_user_similarity_flat, 4),
+    ("stream_flagship", wl_stream_flagship, None),
 ]
 
 
@@ -224,8 +229,8 @@ def main() -> None:
     ks = [int(a) for a in args if a.isdigit()] or [1, 10]
     name_filters = [a for a in args if not a.isdigit()]
     workloads = [
-        (n, fn)
-        for n, fn in WORKLOADS
+        (n, fn, mk)
+        for n, fn, mk in WORKLOADS
         if not name_filters or any(f in n for f in name_filters)
     ]
     if not workloads:
@@ -236,8 +241,11 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
     print(f"{'workload':<18} {'K':>3} {'wall_s':>8} {'rows':>10}")
     results: dict[str, dict[int, float]] = {}
-    for name, fn in workloads:
+    for name, fn, max_k in workloads:
         for k in ks:
+            if max_k is not None and k > max_k:
+                print(f"{name:<18} {k:>3} {'skip':>8} (> max_k {max_k})")
+                continue
             release_managed()
             t = time.time()
             n = fn(spark, sf_dir, k).count()
@@ -248,7 +256,8 @@ def main() -> None:
         lo, hi = ks[0], ks[-1]
         print(f"\nwall ratio K={hi} vs K={lo} (data ratio {hi / lo:.0f}×):")
         for name, r in results.items():
-            print(f"  {name:<18} {r[hi] / max(r[lo], 1e-9):>6.2f}×")
+            if lo in r and hi in r:
+                print(f"  {name:<18} {r[hi] / max(r[lo], 1e-9):>6.2f}×")
 
 
 if __name__ == "__main__":
