@@ -123,36 +123,60 @@ def wl_ann_ivf(spark, sf_dir, k):
     )
 
 
-def wl_stream_flagship(spark, sf_dir, k):
-    """Streaming flagship join with K× the event volume against the
-    unreplicated customer side (the production shape: facts >> dims).
-    Output rows = K × the batch flagship's, state bounded by the
-    customer side."""
-    from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
-    from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
-        run_to_memory,
-    )
+def _flagship_wires(spark, sf_dir, k):
+    """Materialize (or return cached) wire dirs for the flagship replay.
+    Customers side is NOT replicated — use the certified wire builder
+    (same tag/derivation as the flagship replay; a private stress tag
+    would re-encode byte-identical data and could silently drift). The
+    K×-replicated risk side is stress-specific and keeps its own tag.
+    _materialize caches by tag in-process, so calling this from BOTH
+    prepare_stream_flagship (untimed) and wl_stream_flagship (timed)
+    encodes each wire exactly once."""
     from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
         _cust_wire,
         _materialize,
-        _open_wire,
     )
 
-    # Customers side is NOT replicated — use the certified wire builder
-    # (same tag/derivation as the flagship replay; a private stress tag
-    # would re-encode byte-identical data and could silently drift).
-    # The K×-replicated risk side is stress-specific and keeps its own
-    # tag.
-    redis_stream = _open_wire(spark, _cust_wire(spark, sf_dir))
-    events_stream = _open_wire(
-        spark,
+    return (
+        _cust_wire(spark, sf_dir),
         _materialize(
             replicated(stedi_risk_wire(spark, sf_dir), k),
             f"stress-risk-x{k}@{sf_dir}",
             4,
         ),
     )
-    joined = stedi.flagship_pipeline(redis_stream, events_stream)
+
+
+def prepare_stream_flagship(spark, sf_dir, k):
+    """Untimed input preparation — the stand-in for data already
+    sitting in Kafka, exactly like bench.py's prematerialize_wires: the
+    1M-row JSON encode + 4-file parquet write is a long serial-ish
+    stage that (a) is not streaming-engine work and (b) cannot dodge a
+    host stall, so leaving it inside the timed window made the K ratio
+    measure parquet-write scaling instead of replay/state scaling
+    (measured 19.7-36.2 s total vs ~10 s replay-only)."""
+    _flagship_wires(spark, sf_dir, k)
+
+
+def wl_stream_flagship(spark, sf_dir, k):
+    """Streaming flagship join with K× the event volume against the
+    unreplicated customer side (the production shape: facts >> dims).
+    Output rows = K × the batch flagship's, state bounded by the
+    customer side. Timed portion = the replay itself (source listing,
+    micro-batches, symmetric-hash state, sink); wires are
+    pre-materialized by prepare_stream_flagship."""
+    from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        run_to_memory,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
+        _open_wire,
+    )
+
+    cust_path, risk_path = _flagship_wires(spark, sf_dir, k)
+    joined = stedi.flagship_pipeline(
+        _open_wire(spark, cust_path), _open_wire(spark, risk_path)
+    )
     return run_to_memory(spark, joined, output_mode="append")
 
 
@@ -193,22 +217,24 @@ def wl_cc_clusters(spark, sf_dir, k):
     return dedup.connected_components(pairs)
 
 
-# (name, fn, max_k): max_k caps the replication factor this workload
-# will run at — the user_sim pair join's OUTPUT is ~(K × users/day)²
-# per day, which at K=10 is ~100M distinct pairs and drowns the local
-# JVM (measured; no blocking can prune output), so the default K=10
-# sweep must skip it rather than hang. None = no cap.
+# (name, fn, max_k, prepare): max_k caps the replication factor this
+# workload will run at — the user_sim pair join's OUTPUT is
+# ~(K × users/day)² per day, which at K=10 is ~100M distinct pairs and
+# drowns the local JVM (measured; no blocking can prune output), so
+# the default K=10 sweep must skip it rather than hang (None = no
+# cap). prepare (optional) runs UNTIMED before the measurement —
+# input staging that is not engine work.
 WORKLOADS = [
-    ("lineitem_pricing", wl_lineitem_pricing, None),
-    ("exact_dedup", wl_exact_dedup, None),
-    ("minhash_lsh", wl_minhash_lsh, None),
-    ("ngram_jaccard", wl_ngram_jaccard, None),
-    ("simhash_pairs", wl_simhash_pairs, None),
-    ("cc_clusters", wl_cc_clusters, None),
-    ("ann_ivf", wl_ann_ivf, None),
-    ("user_sim_grid", wl_user_similarity, 4),
-    ("user_sim_flat", wl_user_similarity_flat, 4),
-    ("stream_flagship", wl_stream_flagship, None),
+    ("lineitem_pricing", wl_lineitem_pricing, None, None),
+    ("exact_dedup", wl_exact_dedup, None, None),
+    ("minhash_lsh", wl_minhash_lsh, None, None),
+    ("ngram_jaccard", wl_ngram_jaccard, None, None),
+    ("simhash_pairs", wl_simhash_pairs, None, None),
+    ("cc_clusters", wl_cc_clusters, None, None),
+    ("ann_ivf", wl_ann_ivf, None, None),
+    ("user_sim_grid", wl_user_similarity, 4, None),
+    ("user_sim_flat", wl_user_similarity_flat, 4, None),
+    ("stream_flagship", wl_stream_flagship, None, prepare_stream_flagship),
 ]
 
 
@@ -229,8 +255,8 @@ def main() -> None:
     ks = [int(a) for a in args if a.isdigit()] or [1, 10]
     name_filters = [a for a in args if not a.isdigit()]
     workloads = [
-        (n, fn, mk)
-        for n, fn, mk in WORKLOADS
+        (n, fn, mk, prep)
+        for n, fn, mk, prep in WORKLOADS
         if not name_filters or any(f in n for f in name_filters)
     ]
     if not workloads:
@@ -241,12 +267,14 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
     print(f"{'workload':<18} {'K':>3} {'wall_s':>8} {'rows':>10}")
     results: dict[str, dict[int, float]] = {}
-    for name, fn, max_k in workloads:
+    for name, fn, max_k, prepare in workloads:
         for k in ks:
             if max_k is not None and k > max_k:
                 print(f"{name:<18} {k:>3} {'skip':>8} (> max_k {max_k})")
                 continue
             release_managed()
+            if prepare is not None:
+                prepare(spark, sf_dir, k)
             t = time.time()
             n = fn(spark, sf_dir, k).count()
             wall = time.time() - t
