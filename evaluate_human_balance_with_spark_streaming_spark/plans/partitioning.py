@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import re
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -101,8 +102,6 @@ def _estimated_scan_parallelism(df: DataFrame) -> int | None:
             # file silently loses its per-128MB split credit and the
             # helper adds a shuffle the scan's own splitting makes
             # redundant (review finding).
-            from urllib.parse import unquote, urlparse
-
             try:
                 est += (
                     os.path.getsize(unquote(urlparse(f).path)) // _SPLIT_BYTES

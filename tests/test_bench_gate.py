@@ -195,24 +195,30 @@ def test_report_carries_calibration_and_load(monkeypatch, capsys):
         "sum_baseline": 2.0,
         "credited_drift": 1.25,
     }
-    # No retries → plain protocol string and empty retried list.
+    # No retries → plain protocol string and empty retried map.
     assert line["timing"] == "per-query best of 2"
-    assert line["retried"] == []
+    assert line["retried"] == {}
 
 
 def test_report_timing_field_reflects_retries(monkeypatch, capsys):
-    """Retried queries carry best-of-2*reps timings; the artifact's
-    protocol field must say so instead of claiming best-of-reps for
-    every number (review finding)."""
+    """Retried queries carry best-of-(reps+extra) timings with the
+    per-query attempt counts in the artifact; the protocol field must
+    say so instead of claiming best-of-reps for every number — and the
+    count must be the ACTUAL attempts (a retry whose reps failed adds
+    fewer than reps extra; review findings ×2)."""
     monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
     monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
     monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
     report_and_gate(
-        {"q": 1.2}, 1.2, 1.2, sf=0.1, reps=2, retried=["q"]
+        {"q": 1.2}, 1.2, 1.2, sf=0.1, reps=2, retried={"q": 3}
     )
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert line["timing"] == "per-query best of 2; retried queries best of 4"
-    assert line["retried"] == ["q"]
+    assert (
+        line["timing"]
+        == "per-query best of 2; retried queries best of the attempt "
+        "counts in `retried`"
+    )
+    assert line["retried"] == {"q": 3}
 
 
 def test_gate_lenient_optout_and_clean_pass(monkeypatch, capsys):
