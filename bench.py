@@ -85,6 +85,30 @@ SUITE_FACTOR = 1.5
 CALIBRATION_ROWS = 8_000_000
 CALIBRATION_PARTITIONS = 32
 
+# The clean-box probe reference (r04, verified-idle recording: loadavg
+# 0.34, probe 0.455 vs an independent 0.454 clean run) and the
+# idleness bar a DELIBERATE baseline re-record must clear. Enforced in
+# code (VERDICT r04 item 3): the first r04 baseline was recorded under
+# residual load (probe 0.508, loadavg_pre 4.59) and caught only in
+# review — ~12% of slack would have been permanently baked into every
+# per-query bar. SPARK_GRAFT_RECORD_BASELINE=1 routes the artifact
+# through record_baseline() below, which refuses a loaded recording.
+CLEAN_PROBE_S = 0.454
+BASELINE_MAX_PROBE_RATIO = 1.05
+
+# Per-query rep floor for queries whose recorded best-of-2 demonstrably
+# under-samples (VERDICT r04 item 1). dedup_minhash_lsh's generated
+# code (16 seeded-md5 projections over exploded shingles + band keys)
+# settles through JIT tiering measurably slower than every other plan:
+# measured warm-session rep curve 6.07 → 2.41 → 2.11 → 1.96 → 1.91 →
+# 1.88 s at sf0.1 on an idle box — best-of-2 samples the first two
+# points of that curve (the 3.09 s r04 recording and the 4.83↔2.25 s
+# idle-box swing in SCALING.md are exactly reps 1-2 under varying C2
+# compile bandwidth), while the steady state sits at the 1.86 s
+# baseline. Five reps reach the curve's flat tail; the artifact's
+# `timing` field + reps_overrides record the protocol difference.
+QUERY_REPS = {"dedup_minhash_lsh": 5}
+
 
 def _probe_settled(
     series: list[float],
@@ -170,8 +194,10 @@ def calibration_probe(
 
 def _loadavg() -> list[float]:
     try:
+        # AttributeError too: platforms without os.getloadavg (e.g.
+        # Windows) fail at attribute lookup, not with OSError.
         return list(os.getloadavg())
-    except OSError:
+    except (OSError, AttributeError):
         return []
 
 
@@ -460,6 +486,7 @@ def main() -> int:
     # managed persist barriers before every build.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    attempts: dict[str, int] = {}
     total = 0.0
     timed_t0 = time.time()
     for name in HEADLINE:
@@ -468,16 +495,20 @@ def main() -> int:
             # the suite.
             print(f"# MISSING {name}: not in registry, skipped", file=sys.stderr)
             continue
+        # QUERY_REPS floors (never lowers) the rep count for queries
+        # whose settle curve demonstrably outlasts the default best-of-2.
+        q_reps = max(reps, QUERY_REPS.get(name, 0))
         best, n = None, 0
-        for _ in range(reps):
+        for _ in range(q_reps):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()
             dt = round(time.time() - t0, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = best
+        attempts[name] = q_reps
         total += best
-        print(f"# {name}: {n} rows in {best}s (best of {reps})", file=sys.stderr)
+        print(f"# {name}: {n} rows in {best}s (best of {q_reps})", file=sys.stderr)
     timed_wall = round(time.time() - timed_t0, 3)
     release_managed()
 
@@ -529,8 +560,9 @@ def main() -> int:
         # attempts = what the recorded timing is actually the best of —
         # the protocol metadata must not overstate the evidence behind
         # a flag that "reproduced under retry" (a retry whose first
-        # rep failed adds ZERO attempts, not reps).
-        retried[name] = reps + extra
+        # rep failed adds ZERO attempts, not reps), and a QUERY_REPS
+        # query starts from its floored count, not the default.
+        retried[name] = attempts[name] + extra
         print(
             f"# RETRY {name}: {timings[name]}s -> {best}s "
             f"(best of {retried[name]} after flag)",
@@ -564,6 +596,61 @@ def main() -> int:
     )
 
 
+def baseline_recording_error(
+    probe_s: float | None,
+    pinned: float = CLEAN_PROBE_S,
+    max_ratio: float = BASELINE_MAX_PROBE_RATIO,
+) -> str | None:
+    """Why this recording must NOT become BENCH_BASELINE.json, or None
+    if it qualifies. The bar is the recording's own calibration probe
+    vs the pinned clean-box probe: a baseline recorded under load bakes
+    its slack into every future per-query bar (the failure the r04
+    review caught by hand — probe 0.508 vs 0.454 ≈ 12% of permanent
+    slack). In code, not convention (VERDICT r04 item 3). Pure so the
+    gate tests pin it without a Spark session."""
+    if not probe_s:
+        return (
+            "recording carries no calibration probe — a baseline "
+            "without its own idleness evidence cannot be validated"
+        )
+    ratio = probe_s / pinned
+    if ratio > max_ratio:
+        return (
+            f"recording's probe {probe_s}s is {ratio:.3f}x the pinned "
+            f"clean-box probe {pinned}s (> {max_ratio}) — the box was "
+            "not idle; rerun on a quiet machine (or, for a genuine "
+            "hardware change, set SPARK_GRAFT_BASELINE_FORCE=1 and "
+            "document the new box in SCALING.md)"
+        )
+    return None
+
+
+def maybe_record_baseline(artifact: dict, here: str | None = None) -> int:
+    """When SPARK_GRAFT_RECORD_BASELINE=1, write ``artifact`` to
+    BENCH_BASELINE.json — REFUSING a recording whose own probe fails
+    baseline_recording_error (exit 1, nothing written), so the
+    idleness protocol cannot be skipped by discipline lapse. The
+    previous convention (`python bench.py > BENCH_BASELINE.json`)
+    validated nothing. SPARK_GRAFT_BASELINE_FORCE=1 overrides for a
+    documented hardware change, loudly. Returns an exit-code
+    contribution (0 ok / 1 refused)."""
+    if not os.environ.get("SPARK_GRAFT_RECORD_BASELINE"):
+        return 0
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "BENCH_BASELINE.json")
+    err = baseline_recording_error((artifact.get("calibration") or {}).get("probe_s"))
+    if err:
+        if not os.environ.get("SPARK_GRAFT_BASELINE_FORCE"):
+            print(f"# BASELINE REFUSED: {err}", file=sys.stderr)
+            return 1
+        print(f"# BASELINE FORCED despite: {err}", file=sys.stderr)
+    with open(path, "w") as f:
+        json.dump(artifact, f)
+        f.write("\n")
+    print(f"# BASELINE recorded to {path}", file=sys.stderr)
+    return 0
+
+
 def report_and_gate(
     timings: dict[str, float],
     total: float,
@@ -582,8 +669,13 @@ def report_and_gate(
     TOTAL attempts its recorded timing is the best of (a retry rep can
     fail and add nothing) — recorded in the artifact so a flag that
     survived the retry is legible as reproduced-under-retry with its
-    actual evidence count, and a cleared flag as a stall. Split from
-    main() so the gate is unit-testable without a Spark session."""
+    actual evidence count, and a cleared flag as a stall. Artifact
+    schema note: `retried` became a name→attempt-count dict in r04
+    (BENCH_r01-r03 carry a sorted name list under the same key);
+    `reps_overrides` (the QUERY_REPS floor map) appeared in r05 —
+    external tooling diffing artifacts across rounds must handle both
+    shapes. Split from main() so the gate is unit-testable without a
+    Spark session."""
     baseline = _baseline_timings()
     calibration = dict(calibration or {})
     probe_base = _baseline_probe()
@@ -627,46 +719,51 @@ def report_and_gate(
                 file=sys.stderr,
             )
 
-    print(
-        json.dumps(
-            {
-                # Named for what it measures (ADVICE r02): the sum of
-                # per-query best-of-N minima — the noise-free per-query
-                # cost signal. True single-pass wall clock for all reps
-                # of all queries is reported as wall_s. (r01's
-                # "headline_suite_wall" 34.5s was single-shot wall;
-                # r02+ numbers are best-of-N sums — protocol recorded
-                # in the timing field so history compares like with
-                # like.)
-                "metric": "headline_suite_best_sum",
-                "value": total,
-                "unit": "sec",
-                # The protocol field must describe what was actually
-                # recorded: retried queries carry best-of-(reps+extra)
-                # with the per-query attempt counts in `retried` (the
-                # extra attempts are taken after the timed window;
-                # wall_s still covers only the main loop).
-                "timing": f"per-query best of {reps}"
-                + (
-                    "; retried queries best of the attempt counts "
-                    "in `retried`"
-                    if retried
-                    else ""
-                ),
-                "wall_s": timed_wall,
-                "queries": timings,
-                "sf": sf,
-                "calibration": calibration,
-                "load": load or {},
-                "comparable": comparable,
-                "regressions": regressions,
-                "retried": dict(sorted((retried or {}).items())),
-            }
+    artifact = {
+        # Named for what it measures (ADVICE r02): the sum of
+        # per-query best-of-N minima — the noise-free per-query
+        # cost signal. True single-pass wall clock for all reps
+        # of all queries is reported as wall_s. (r01's
+        # "headline_suite_wall" 34.5s was single-shot wall;
+        # r02+ numbers are best-of-N sums — protocol recorded
+        # in the timing field so history compares like with
+        # like.)
+        "metric": "headline_suite_best_sum",
+        "value": total,
+        "unit": "sec",
+        # The protocol field must describe what was actually
+        # recorded: retried queries carry best-of-(reps+extra)
+        # with the per-query attempt counts in `retried` (the
+        # extra attempts are taken after the timed window;
+        # wall_s still covers only the main loop), and
+        # QUERY_REPS queries best of their floored counts.
+        "timing": f"per-query best of {reps}"
+        + (
+            "; floored per reps_overrides"
+            if QUERY_REPS
+            else ""
         )
-    )
+        + (
+            "; retried queries best of the attempt counts "
+            "in `retried`"
+            if retried
+            else ""
+        ),
+        "wall_s": timed_wall,
+        "queries": timings,
+        "sf": sf,
+        "calibration": calibration,
+        "load": load or {},
+        "comparable": comparable,
+        "regressions": regressions,
+        "retried": dict(sorted((retried or {}).items())),
+        "reps_overrides": dict(sorted(QUERY_REPS.items())),
+    }
+    print(json.dumps(artifact))
+    code = maybe_record_baseline(artifact)
     if regressions and not os.environ.get("SPARK_GRAFT_BENCH_LENIENT"):
         return 1
-    return 0
+    return code
 
 
 if __name__ == "__main__":

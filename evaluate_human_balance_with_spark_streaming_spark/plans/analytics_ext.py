@@ -642,7 +642,10 @@ def grid_buckets_for(
 
 
 def user_activity_similarity(
-    e: DataFrame, buckets: int | None = None, top_k: int = 5
+    e: DataFrame,
+    buckets: int | None = None,
+    top_k: int = 5,
+    day_top: int | None = None,
 ) -> DataFrame:
     """The q_user_activity_similarity pipeline over a caller-supplied
     events frame (user_id, ts) — the seam the hypothesis property test
@@ -653,7 +656,24 @@ def user_activity_similarity(
     adaptively via grid_buckets_for from the measured hottest-day
     pair-work share; an explicit B pins the physical shape (tests,
     stress harness). Semantics documented on the registered query
-    above."""
+    above.
+
+    ``day_top`` is the OUTPUT-BOUNDING scale dial (VERDICT r04 item
+    5): the exact pair join's work AND output are inherently
+    ~(users-per-day)² — no blocking can prune them — which at the ×10
+    replication stress is ~100M pairs and drowns a single box. With
+    ``day_top=C``, each day contributes pair work only for its C
+    most-active users (rank by n desc, user_id asc — deterministic),
+    bounding per-day pair work to C² regardless of corpus growth: the
+    same contract shape as IVF's probe count, a recall dial, NOT the
+    exact query (dot contributions from days where either user ranks
+    below C are dropped; norms stay exact over the full profile, so
+    scored pairs carry their true denominators and cosine is an
+    UNDERESTIMATE for truncated pairs). Exact whenever C ≥ the
+    busiest day's active-user count — pinned by a unit test. The
+    per-day rank is one window sort, linear-ish in profile rows; at
+    extreme per-day cardinality pre-aggregate to a coarser user grain
+    first. ``day_top=None`` (the registered query's form) is exact."""
     from pyspark.sql.window import Window
 
     from ..caching import managed_persist
@@ -667,9 +687,22 @@ def user_activity_similarity(
         e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Norms are computed over the FULL profile before any day_top
+    # pruning — approximate candidates, exact denominators.
+    norms = ud.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm"))
+    if day_top is not None:
+        if day_top < 1:
+            raise ValueError(f"day_top must be >= 1, got {day_top}")
+        wd = Window.partitionBy("day").orderBy(
+            F.col("n").desc(), F.col("user_id").asc()
+        )
+        ud = (
+            ud.withColumn("_r", F.row_number().over(wd))
+            .filter(F.col("_r") <= day_top)
+            .drop("_r")
+        )
     if buckets is None:
         buckets = measured_grid_buckets(ud)
-    norms = ud.groupBy("user_id").agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm"))
     B = buckets  # user-hash buckets → B(B+1)/2 cells per day (36 at 8)
     grid = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("g")
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int")

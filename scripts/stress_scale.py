@@ -199,6 +199,23 @@ def wl_user_similarity_flat(spark, sf_dir, k):
     return wl_user_similarity(spark, sf_dir, k, buckets=1)
 
 
+def wl_user_similarity_capped(spark, sf_dir, k):
+    """The user_sim SCALE PATH (VERDICT r04 item 5): day_top bounds
+    each day's pair work to C² regardless of K, so this row completes
+    at K=10 where the exact form's ~100M output-inherent pairs drown
+    the box (see max_k on user_sim_grid/flat). C=1000 clips even the
+    K=1 busiest day (1,356 actives at sf0.1), i.e. both rows measure
+    the deliberately-approximate regime — the documented recall dial,
+    a contract change, which is why the exact forms keep their cap
+    instead of silently switching; C ≥ busiest-day actives reproducing
+    the exact output is pinned by
+    tests/test_operators.py::test_user_similarity_day_top_dial."""
+    from evaluate_human_balance_with_spark_streaming_spark.plans import analytics_ext
+
+    e = replicated(load_table(spark, sf_dir, "events"), k, id_cols=("user_id",))
+    return analytics_ext.user_activity_similarity(e, day_top=1000)
+
+
 def wl_cc_clusters(spark, sf_dir, k):
     """Connected components over the K×-replicated LSH pair set — the
     iterative operator under a pair graph that grows ~K² per component
@@ -234,6 +251,7 @@ WORKLOADS = [
     ("ann_ivf", wl_ann_ivf, None, None),
     ("user_sim_grid", wl_user_similarity, 4, None),
     ("user_sim_flat", wl_user_similarity_flat, 4, None),
+    ("user_sim_capped", wl_user_similarity_capped, None, None),
     ("stream_flagship", wl_stream_flagship, None, prepare_stream_flagship),
 ]
 
@@ -267,10 +285,18 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
     print(f"{'workload':<18} {'K':>3} {'wall_s':>8} {'rows':>10}")
     results: dict[str, dict[int, float]] = {}
+    # STRESS_NO_CAP=1 bypasses every max_k (ADVICE r04): an explicit
+    # `stress_scale.py user_sim 10` should be able to run the heavy
+    # exact form deliberately instead of printing only skip rows —
+    # the cap protects the DEFAULT sweep, not an informed operator.
+    no_cap = bool(os.environ.get("STRESS_NO_CAP"))
     for name, fn, max_k, prepare in workloads:
         for k in ks:
-            if max_k is not None and k > max_k:
-                print(f"{name:<18} {k:>3} {'skip':>8} (> max_k {max_k})")
+            if max_k is not None and k > max_k and not no_cap:
+                print(
+                    f"{name:<18} {k:>3} {'skip':>8} "
+                    f"(> max_k {max_k}; STRESS_NO_CAP=1 overrides)"
+                )
                 continue
             release_managed()
             if prepare is not None:

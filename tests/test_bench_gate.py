@@ -195,8 +195,9 @@ def test_report_carries_calibration_and_load(monkeypatch, capsys):
         "sum_baseline": 2.0,
         "credited_drift": 1.25,
     }
-    # No retries → plain protocol string and empty retried map.
-    assert line["timing"] == "per-query best of 2"
+    # No retries → base protocol string (plus the standing QUERY_REPS
+    # floor note) and empty retried map.
+    assert line["timing"] == "per-query best of 2; floored per reps_overrides"
     assert line["retried"] == {}
 
 
@@ -215,8 +216,8 @@ def test_report_timing_field_reflects_retries(monkeypatch, capsys):
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert (
         line["timing"]
-        == "per-query best of 2; retried queries best of the attempt "
-        "counts in `retried`"
+        == "per-query best of 2; floored per reps_overrides; retried "
+        "queries best of the attempt counts in `retried`"
     )
     assert line["retried"] == {"q": 3}
 
@@ -280,3 +281,73 @@ def test_probe_settle_decision():
     # max_reps and the min reflects the contention (that is what drift
     # credit + the artifact's rep series are for).
     assert not _probe_settled([4.0, 2.0, 2.1, 2.05], target_s=base)
+
+
+def test_baseline_recording_error_enforces_idleness():
+    """VERDICT r04 item 3: a BENCH_BASELINE re-record must prove its
+    own idleness IN CODE — a probe more than 5% over the pinned
+    clean-box reference (the first r04 baseline shipped with probe
+    0.508 vs 0.454 ≈ 12% of permanent slack and was caught only in
+    review) is refused, a missing probe is refused, a clean probe
+    passes."""
+    from bench import CLEAN_PROBE_S, baseline_recording_error
+
+    # The loaded r04 recording that motivated the rule.
+    err = baseline_recording_error(0.508)
+    assert err is not None and "not idle" in err
+    # No probe at all — nothing to validate against.
+    assert baseline_recording_error(None) is not None
+    assert baseline_recording_error(0.0) is not None
+    # The actual accepted r04 re-record.
+    assert baseline_recording_error(0.455) is None
+    # Exactly at the bar passes; a hair over does not.
+    assert baseline_recording_error(round(CLEAN_PROBE_S * 1.05, 6)) is None
+    assert baseline_recording_error(CLEAN_PROBE_S * 1.06) is not None
+
+
+def test_maybe_record_baseline_refuses_loaded_box(tmp_path, monkeypatch, capsys):
+    """The writer half of the idleness rule: with RECORD_BASELINE set,
+    a loaded recording exits 1 and writes NOTHING; a clean recording
+    lands in BENCH_BASELINE.json; FORCE overrides loudly (documented
+    hardware-change escape hatch)."""
+    from bench import maybe_record_baseline
+
+    loaded = {"calibration": {"probe_s": 0.6}, "queries": {"q": 1.0}}
+    clean = {"calibration": {"probe_s": 0.455}, "queries": {"q": 1.0}}
+    path = tmp_path / "BENCH_BASELINE.json"
+
+    # Env unset: no-op regardless of artifact health.
+    monkeypatch.delenv("SPARK_GRAFT_RECORD_BASELINE", raising=False)
+    assert maybe_record_baseline(loaded, str(tmp_path)) == 0
+    assert not path.exists()
+
+    monkeypatch.setenv("SPARK_GRAFT_RECORD_BASELINE", "1")
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_FORCE", raising=False)
+    assert maybe_record_baseline(loaded, str(tmp_path)) == 1
+    assert not path.exists()
+    assert "BASELINE REFUSED" in capsys.readouterr().err
+
+    assert maybe_record_baseline(clean, str(tmp_path)) == 0
+    assert json.loads(path.read_text())["calibration"]["probe_s"] == 0.455
+
+    path.unlink()
+    monkeypatch.setenv("SPARK_GRAFT_BASELINE_FORCE", "1")
+    assert maybe_record_baseline(loaded, str(tmp_path)) == 0
+    assert json.loads(path.read_text())["calibration"]["probe_s"] == 0.6
+    assert "BASELINE FORCED" in capsys.readouterr().err
+
+
+def test_report_carries_reps_overrides(monkeypatch, capsys):
+    """The artifact must record the QUERY_REPS protocol difference —
+    a floored query's timing is best-of-more than the `reps` field
+    says, and external tooling reads the override map, not the code."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.delenv("SPARK_GRAFT_RECORD_BASELINE", raising=False)
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    assert bench.report_and_gate({"q": 1.0}, 1.0, 1.0, 0.1, 2) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["reps_overrides"] == dict(sorted(bench.QUERY_REPS.items()))
+    assert "dedup_minhash_lsh" in out["reps_overrides"]
+    assert out["reps_overrides"]["dedup_minhash_lsh"] > 2
+    assert "floored per reps_overrides" in out["timing"]

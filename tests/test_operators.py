@@ -784,3 +784,51 @@ def test_decode_ppm_comment_adjacent_to_token(spark):
     assert decode_ppm(encode_ppm(2, 2, pixels)) == pixels
     with _pytest.raises(ValueError, match="raster delimiter"):
         decode_ppm(b"P6\n2 2\n255# no delimiter\n" + pixels)
+
+
+def test_user_similarity_day_top_dial(spark):
+    """day_top is the documented recall dial on the user-similarity
+    pair join (VERDICT r04 item 5): C >= the busiest day's active
+    users reproduces the exact query EXACTLY; a smaller C drops pair
+    contributions from days where a participant ranks below C (dot
+    truncated, norms stay exact → cosine underestimates), and pairs
+    co-active only on clipped days disappear; a non-positive C
+    raises."""
+    from datetime import datetime
+
+    import math
+
+    from evaluate_human_balance_with_spark_streaming_spark.plans.analytics_ext import (
+        user_activity_similarity,
+    )
+
+    # day1 actives: u1 (5 events) > u2 (3) > u3 (1); day2: u3 (2) > u1 (1).
+    rows = []
+    for u, d, n in [(1, 1, 5), (2, 1, 3), (3, 1, 1), (1, 2, 1), (3, 2, 2)]:
+        rows += [(u, datetime(2024, 3, d, 9, 0, 0))] * n
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    exact = {(r.user_a, r.user_b): r.cosine
+             for r in user_activity_similarity(df).collect()}
+    n1, n2, n3 = math.sqrt(26), 3.0, math.sqrt(5)
+    assert set(exact) == {(1, 2), (1, 3), (2, 3)}
+    assert exact[(1, 2)] == pytest.approx(15 / (n1 * n2), abs=1e-6)
+    assert exact[(1, 3)] == pytest.approx(7 / (n1 * n3), abs=1e-6)
+    assert exact[(2, 3)] == pytest.approx(3 / (n2 * n3), abs=1e-6)
+
+    # C at/above the busiest day's cardinality → byte-identical rows.
+    wide = {(r.user_a, r.user_b): r.cosine
+            for r in user_activity_similarity(df, day_top=3).collect()}
+    assert wide == exact
+
+    # C=2 clips day1 to {u1, u2} and day2 stays whole: (2,3) vanishes
+    # (their only co-active day dropped u3), (1,3) keeps only the day2
+    # contribution over EXACT norms, (1,2) is untouched.
+    capped = {(r.user_a, r.user_b): r.cosine
+              for r in user_activity_similarity(df, day_top=2).collect()}
+    assert set(capped) == {(1, 2), (1, 3)}
+    assert capped[(1, 2)] == exact[(1, 2)]
+    assert capped[(1, 3)] == pytest.approx(2 / (n1 * n3), abs=1e-6)
+
+    with pytest.raises(ValueError, match="day_top"):
+        user_activity_similarity(df, day_top=0)
