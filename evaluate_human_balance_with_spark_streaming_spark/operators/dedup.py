@@ -682,6 +682,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_width(n_rows: int, session_width: int) -> int:
+    """Shuffle width for one contraction round: ~64k slim (long, long)
+    edge rows per task — small enough per task, big enough that task
+    launch (~ms each) doesn't dominate a tiny round — capped at the
+    session width. A 256-edge bench graph runs 1-wide (instead of
+    paying 32 launches per stage), a 250k-edge stress graph ~4-wide,
+    and a cluster-scale graph at full session width. Pure (unit-pinned
+    without Spark)."""
+    return max(1, min(session_width, n_rows // 65_536 + 1))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 20) -> DataFrame:
     """Connected components over an undirected pair set → (node,
@@ -723,12 +734,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     Near-dup pair graphs are orders of magnitude smaller than the
     corpus, so at the session's default width each tiny round would
     pay ~32 task launches per stage (measured 3.1s for a 256-edge
-    graph). The loop frames are therefore explicitly
-    ``.repartition(W, key)``-ed to a small width — scoped to these
-    frames only, no session-global ``spark.sql.shuffle.partitions``
-    mutation (VERDICT r04 item 2: the global pin would silently
-    re-plan any concurrently built query at width 4). On a
-    cluster-sized pair graph, size W to cores instead.
+    graph) — but a FIXED small width would throttle the first round
+    of a stress-scale graph (the one round that still carries the
+    full edge set). The loop width is therefore chosen PER ROUND from
+    the measured edge count (``_cc_width``: ~64k slim edge rows per
+    task, capped at the session width — the convergence count every
+    round already pays for the statistic), applied via
+    ``.repartition(w, key)`` scoped to the loop frames only — no
+    session-global ``spark.sql.shuffle.partitions`` mutation (VERDICT
+    r04 item 2: the global pin would silently re-plan any
+    concurrently built query at width 4).
     """
     if max_iterations <= 0:
         # A non-positive budget would skip the loop and return every
@@ -737,20 +752,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     spark = pairs.sparkSession
     try:
-        W = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 4))
+        session_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (ValueError, TypeError):
         # Auto-tuning platforms report a non-numeric value (e.g.
-        # "auto"); the repartition still needs a concrete width.
-        W = 4
+        # "auto"); fall back to the cluster's physical parallelism.
+        session_w = spark.sparkContext.defaultParallelism
     cp = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint()
+    # One count over the just-materialized blocks (~free) sizes the
+    # first round; later rounds reuse their convergence count.
+    w = _cc_width(2 * cp.count(), session_w)
     # Symmetrize so every node with any edge appears as src (m(u) reads
     # the full neighborhood from one groupBy), then drop to the small
     # round width. hash(src, W) clusters every per-key op below.
     edges = (
         cp.union(cp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(W, "src")
+        .repartition(w, "src")
         .localCheckpoint()
     )
     # node → current super-node id. Updated through each round's merge
@@ -759,7 +777,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     # — already the component min — is frozen via coalesce.
     mapping = (
         edges.select(F.col("src").alias("node"))
-        .repartition(W, "node")
+        .repartition(w, "node")
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
@@ -776,7 +794,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # Pointer doubling: follow the merge map one extra hop (targets
         # are themselves sources unless already fixpoints).
         m2 = (
-            m.repartition(W, "mn")
+            m.repartition(w, "mn")
             .join(
                 m.select(F.col("src").alias("_s"), F.col("mn").alias("_m")),
                 F.col("mn") == F.col("_s"),
@@ -786,7 +804,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             .localCheckpoint()
         )
         mapping = (
-            mapping.repartition(W, "label")
+            mapping.repartition(w, "label")
             .join(m2, F.col("label") == F.col("src"), "left")
             .select("node", F.coalesce("mn", "label").alias("label"))
             .localCheckpoint()
@@ -799,20 +817,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         edges = (
             edges.join(m2, "src")
             .select(F.col("mn").alias("src"), "dst")
-            .repartition(W, "dst")
+            .repartition(w, "dst")
             .join(
                 m2.select(F.col("src").alias("dst"), F.col("mn").alias("_dmn")),
                 "dst",
             )
             .select("src", F.col("_dmn").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .repartition(W, "src")
+            .repartition(w, "src")
             .dropDuplicates(["src", "dst"])
             .localCheckpoint()
         )
         remaining = edges.count()
         if remaining == 0:
             break
+        w = _cc_width(remaining, session_w)
     if remaining != 0:
         # Exhausting the iteration budget mid-contraction would return
         # plausible-looking but WRONG labels (one component split across

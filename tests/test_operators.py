@@ -832,3 +832,20 @@ def test_user_similarity_day_top_dial(spark):
 
     with pytest.raises(ValueError, match="day_top"):
         user_activity_similarity(df, day_top=0)
+
+
+def test_cc_width_scales_with_edges():
+    """The contraction loop's per-round shuffle width tracks the
+    measured edge count (~64k rows per task), floored at 1 (a tiny
+    bench graph must not pay 32 task launches per stage) and capped at
+    the session width (a stress-scale first round must not be
+    throttled to the tiny-graph width)."""
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        _cc_width,
+    )
+
+    assert _cc_width(0, 32) == 1
+    assert _cc_width(512, 32) == 1
+    assert _cc_width(500_000, 32) == 8
+    assert _cc_width(10**9, 32) == 32
+    assert _cc_width(10**9, 8) == 8
