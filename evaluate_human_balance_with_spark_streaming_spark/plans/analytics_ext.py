@@ -580,7 +580,14 @@ def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted slim profile (~#days rows — a deliberate,
     documented plan-build action of the same class as
     connected-components' convergence count, NOT a hidden physical
-    planning of the full input)."""
+    planning of the full input).
+
+    This registered form is EXACT. For corpora where the exact pair
+    output is itself intractable (~(users/day)² rows — no blocking
+    prunes output), user_activity_similarity exposes the ``day_top``
+    candidate-bounding dial (per-day top-C actives; IVF-probe-style
+    recall contract, stress-measured at 1.11-1.39× wall on 10× data
+    where this exact form drowns a single box — SCALING.md r05)."""
     return user_activity_similarity(load_table(spark, sf_dir, "events"))
 
 
