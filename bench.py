@@ -361,21 +361,26 @@ def _streaming_warmup(spark, sf_dir: str) -> None:
         stream_parquet_dir,
     )
     from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        replay_session,
         run_to_memory,
     )
 
     path = os.path.join(tempfile.mkdtemp(prefix="ehb-bench-warm-"), "data")
     spark.range(8).write.mode("overwrite").parquet(path)
     schema = StructType([StructField("id", LongType())])
-    stream = stream_parquet_dir(spark, path, schema, max_files_per_trigger=4)
-    run_to_memory(spark, stream.groupBy().count(), output_mode="complete").count()
+    # Warm on the SAME conf-isolated replay session the stream_*
+    # queries run on, so the state machinery JITs at the width and
+    # session the timed replays will use.
+    rs = replay_session(spark)
+    stream = stream_parquet_dir(rs, path, schema, max_files_per_trigger=4)
+    run_to_memory(stream.groupBy().count(), output_mode="complete").count()
     # ...and a tiny stream-stream join: the symmetric-hash-join state
     # machinery JITs separately from the aggregate path above.
-    s1 = stream_parquet_dir(spark, path, schema, max_files_per_trigger=4)
-    s2 = stream_parquet_dir(spark, path, schema, max_files_per_trigger=4).select(
+    s1 = stream_parquet_dir(rs, path, schema, max_files_per_trigger=4)
+    s2 = stream_parquet_dir(rs, path, schema, max_files_per_trigger=4).select(
         F.col("id").alias("id2")
     )
-    run_to_memory(spark, s1.join(s2, s1["id"] == s2["id2"])).count()
+    run_to_memory(s1.join(s2, s1["id"] == s2["id2"])).count()
 
     # Spawn the Python worker pool (one daemon per core) with a no-op
     # mapInPandas so the first timed Pandas-UDF query measures Arrow

@@ -8,4 +8,4 @@ multi-sink (the reference's second sink was dead code, SURVEY §2.2),
 watermarked aggregates, and an applyInPandasWithState custom operator.
 """
 
-from .runner import run_to_memory, start_query  # noqa: F401
+from .runner import replay_session, run_to_memory, start_query  # noqa: F401

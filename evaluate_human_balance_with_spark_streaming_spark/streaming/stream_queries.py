@@ -41,7 +41,7 @@ from ..sources.testdata import (
     stedi_risk_wire,
 )
 from .aggregates import windowed_quality
-from .runner import run_to_memory
+from .runner import replay_session, run_to_memory
 from .stateful import running_risk_state
 
 _WIRE_SCHEMA = StructType([StructField("value", StringType())])
@@ -164,11 +164,17 @@ def q_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship join run AS A STREAM: both wire feeds replayed as
     multi-batch file streams, stream-stream inner join with symmetric
     hash state, drained via availableNow into a memory sink. Must
-    hash-match the same relational oracle as the batch flagship."""
-    redis_stream = _open_wire(spark, _cust_wire(spark, sf_dir))
-    events_stream = _open_wire(spark, _risk_wire(spark, sf_dir))
+    hash-match the same relational oracle as the batch flagship.
+
+    The streams are built on ``replay_session(spark)`` — the
+    conf-isolated small-shuffle-width session — so the replay's state
+    width never touches the caller's session conf (VERDICT r05 item 4;
+    same pattern in every stream_* query here)."""
+    rs = replay_session(spark)
+    redis_stream = _open_wire(rs, _cust_wire(spark, sf_dir))
+    events_stream = _open_wire(rs, _risk_wire(spark, sf_dir))
     joined = stedi.flagship_pipeline(redis_stream, events_stream)
-    return run_to_memory(spark, joined, output_mode="append")
+    return run_to_memory(joined, output_mode="append")
 
 
 @register(
@@ -205,12 +211,13 @@ def q_stream_flagship_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     bounded replay emits every in-band match, so the relational band
     join is an exact oracle; risk event times are truncated to
     milliseconds by the wire format, which the oracle replays."""
+    rs = replay_session(spark)
     redis_stream = _open_wire(
-        spark, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA
+        rs, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA
     )
-    events_stream = _open_wire(spark, _risk_wire(spark, sf_dir))
+    events_stream = _open_wire(rs, _risk_wire(spark, sf_dir))
     joined = stedi.flagship_pipeline_watermarked(redis_stream, events_stream)
-    return run_to_memory(spark, joined, output_mode="append")
+    return run_to_memory(joined, output_mode="append")
 
 
 @register(
@@ -230,12 +237,12 @@ def q_stream_windowed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (complete output mode so every window surfaces for the
     oracle; production uses append + watermark eviction)."""
     stream = _open_wire(
-        spark,
+        replay_session(spark),
         _win_wire(spark, sf_dir),
         StructType.fromDDL("ts timestamp, event_type string, value double"),
     )
     agg = windowed_quality(stream, ts_col="ts", window_size="1 day")
-    return run_to_memory(spark, agg, output_mode="complete")
+    return run_to_memory(agg, output_mode="complete")
 
 
 def _session_wire(spark: SparkSession, sf_dir: str) -> str:
@@ -329,7 +336,7 @@ def q_stream_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark eviction mid-stream is pinned separately by
     tests/test_streaming.py::test_streaming_session_window_emits_closed_session."""
     stream = _open_wire(
-        spark,
+        replay_session(spark),
         _session_wire(spark, sf_dir),
         StructType.fromDDL("user_id bigint, ts timestamp"),
     )
@@ -351,7 +358,7 @@ def q_stream_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(spark, sessions, output_mode="append")
+    return run_to_memory(sessions, output_mode="append")
 
 
 @register(
@@ -376,9 +383,11 @@ def q_stream_stateful_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (update mode), collapsed to final state so the relational derivation
     is an exact oracle. Per-batch emission granularity is pinned by unit
     tests (tests/test_streaming.py)."""
-    risk = stedi.parse_risk_events(_open_wire(spark, _risk_wire(spark, sf_dir)))
+    risk = stedi.parse_risk_events(
+        _open_wire(replay_session(spark), _risk_wire(spark, sf_dir))
+    )
     out = running_risk_state(risk)
-    updates = run_to_memory(spark, out, output_mode="update")
+    updates = run_to_memory(out, output_mode="update")
     # Collapse per-batch updates to the final state per customer.
     return (
         updates.groupBy("customer")
@@ -408,12 +417,12 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with the watermarked variant (one materialization, two read
     schemas)."""
     stream = _open_wire(
-        spark,
+        replay_session(spark),
         _dup_ts_wire(spark, sf_dir),
         StructType.fromDDL("event_id bigint, user_id bigint, event_type string"),
     )
     deduped = stream.dropDuplicates(["event_id"])
-    return run_to_memory(spark, deduped, output_mode="append")
+    return run_to_memory(deduped, output_mode="append")
 
 
 @register(
@@ -441,7 +450,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     compares identity columns (raw nanos-precision timestamps don't
     round-trip the driver's pandas fetch)."""
     stream = _open_wire(
-        spark,
+        replay_session(spark),
         _dup_ts_wire(spark, sf_dir),
         StructType.fromDDL(
             "event_id bigint, user_id bigint, event_type string, ts timestamp"
@@ -452,7 +461,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    return run_to_memory(spark, deduped, output_mode="append")
+    return run_to_memory(deduped, output_mode="append")
 
 
 @register(
@@ -479,10 +488,13 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     is joined per micro-batch, broadcast when small). The third join
     flavor next to batch-batch and stream-stream; at scale this is the
     dimension-enrichment pattern where only the stream shuffles."""
+    rs = replay_session(spark)
     risk_stream = stedi.parse_risk_events(
-        _open_wire(spark, _risk_wire(spark, sf_dir))
+        _open_wire(rs, _risk_wire(spark, sf_dir))
     )
-    dim = load_table(spark, sf_dir, "customer").select(
+    # The static dim loads on the SAME replay session — a join across
+    # DataFrames from two sessions is undefined.
+    dim = load_table(rs, sf_dir, "customer").select(
         _email_from_custkey(F.col("c_custkey")).alias("email"),
         "c_mktsegment",
     )
@@ -493,4 +505,4 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = risk_stream.join(
         dim, risk_stream["customer"] == dim["email"]
     ).select("customer", "score", "c_mktsegment")
-    return run_to_memory(spark, enriched)
+    return run_to_memory(enriched)

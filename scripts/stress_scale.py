@@ -167,6 +167,7 @@ def wl_stream_flagship(spark, sf_dir, k):
     pre-materialized by prepare_stream_flagship."""
     from evaluate_human_balance_with_spark_streaming_spark.plans import stedi
     from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        replay_session,
         run_to_memory,
     )
     from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
@@ -174,10 +175,13 @@ def wl_stream_flagship(spark, sf_dir, k):
     )
 
     cust_path, risk_path = _flagship_wires(spark, sf_dir, k)
+    # Same conf-isolated small-width replay session the registered
+    # stream_* queries use — like-for-like with the bench numbers.
+    rs = replay_session(spark)
     joined = stedi.flagship_pipeline(
-        _open_wire(spark, cust_path), _open_wire(spark, risk_path)
+        _open_wire(rs, cust_path), _open_wire(rs, risk_path)
     )
-    return run_to_memory(spark, joined, output_mode="append")
+    return run_to_memory(joined, output_mode="append")
 
 
 def wl_user_similarity(spark, sf_dir, k, buckets=8):

@@ -44,7 +44,7 @@ def risk_json(customer: str, score: float, ts: str = "2020-09-14T07:54:06.417Z")
 
 def test_risk_parse_runs_as_stream(spark):
     stream = wire_stream(spark, [risk_json("a@b.c", 1.5), risk_json("d@e.f", -2.0)])
-    out = run_to_memory(spark, stedi.parse_risk_events(stream))
+    out = run_to_memory(stedi.parse_risk_events(stream))
     got = {(r.customer, r.score) for r in out.collect()}
     assert got == {("a@b.c", 1.5), ("d@e.f", -2.0)}
 
@@ -64,7 +64,7 @@ def test_run_to_memory_timeout_cleans_up_sink_and_checkpoint(spark):
     # 1 ms: the drain can't finish (query start alone is >100 ms), so
     # _await_bounded takes the timeout path deterministically.
     with pytest.raises(TimeoutError):
-        run_to_memory(spark, stedi.parse_risk_events(stream), timeout_sec=1e-3)
+        run_to_memory(stedi.parse_risk_events(stream), timeout_sec=1e-3)
     assert {t.name for t in spark.catalog.listTables()} == views_before
     ckpts_after = {
         d for d in os.listdir(ckpt_root) if d.startswith("ehb-ckpt-")
@@ -96,7 +96,7 @@ def test_stream_stream_join_accumulates_state_across_batches(spark):
         [risk_json("a@b.c", 1.0), risk_json("a@b.c", 2.0), risk_json("x@y.z", 3.0)],
         3,
     )
-    out = run_to_memory(spark, stedi.flagship_pipeline(cust_stream, risk_stream))
+    out = run_to_memory(stedi.flagship_pipeline(cust_stream, risk_stream))
     rows = out.collect()
     assert len(rows) == 3
     assert {(r.email, r.score, r.birthYear) for r in rows} == {
@@ -166,7 +166,7 @@ def test_windowed_aggregate_streaming_matches_batch(spark, sf_dir):
     streamed = {
         (r.window_day, r.event_type): (r.n_events, r.avg_value)
         for r in run_to_memory(
-            spark, windowed_quality(stream, "ts", "1 day"), output_mode="complete"
+            windowed_quality(stream, "ts", "1 day"), output_mode="complete"
         ).collect()
     }
     assert streamed == batch
@@ -183,7 +183,6 @@ def test_stateful_risk_state_final_counts(spark):
         3,
     )
     out = run_to_memory(
-        spark,
         running_risk_state(stedi.parse_risk_events(stream)),
         output_mode="update",
     )
@@ -216,7 +215,6 @@ def test_stateful_risk_ignores_null_scores_like_sql_aggregates(spark):
         3,
     )
     out = run_to_memory(
-        spark,
         running_risk_state(stedi.parse_risk_events(stream)),
         output_mode="update",
     )
@@ -262,7 +260,7 @@ def test_run_to_memory_cleans_checkpoint_when_start_rejects_plan(spark):
     bad = stedi.parse_risk_events(stream).groupBy("customer").count()
     before = set(glob.glob(os.path.join(tempfile.gettempdir(), "ehb-ckpt-*")))
     with pytest.raises(Exception):
-        run_to_memory(spark, bad, output_mode="append")
+        run_to_memory(bad, output_mode="append")
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "ehb-ckpt-*")))
     assert after == before
 
@@ -278,7 +276,7 @@ def test_foreach_batch_collects_all_batches(spark):
     def sink(batch_df, batch_id):
         seen[batch_id] = batch_df.count()
 
-    run_foreach_batch(spark, stedi.parse_risk_events(stream), sink)
+    run_foreach_batch(stedi.parse_risk_events(stream), sink)
     assert sum(seen.values()) == 2
     assert len(seen) >= 2  # one micro-batch per file
 
@@ -330,7 +328,7 @@ def test_drop_duplicates_within_watermark(spark):
         max_files_per_trigger=1,
     )
     deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["k"])
-    out = run_to_memory(spark, deduped)
+    out = run_to_memory(deduped)
     assert sorted(r.k for r in out.collect()) == [1, 2]
 
 
@@ -378,7 +376,7 @@ def test_watermark_drops_late_rows_in_append_window(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
         .select(F.date_format("w.start", "HH:mm").alias("w_start"), "n", "total")
     )
-    out = run_to_memory(spark, agg, output_mode="append")
+    out = run_to_memory(agg, output_mode="append")
     rows = {r.w_start: (r.n, r.total) for r in out.collect()}
     # The 00:00 window emitted exactly once, WITHOUT the late 100.0 row;
     # the 02:00 windows are still open (watermark never passed them) so
@@ -458,7 +456,7 @@ def test_streaming_session_window_emits_closed_session(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .select("user_id", F.date_format("w.start", "HH:mm").alias("start"), "n")
     )
-    out = run_to_memory(spark, agg, output_mode="append")
+    out = run_to_memory(agg, output_mode="append")
     rows = {(r.user_id, r.start): r.n for r in out.collect()}
     # The 00:00 session (2 events, merged by the 30-min gap) closed and
     # emitted; the 03:00 session is still open → absent.
@@ -490,7 +488,7 @@ def test_watermarked_flagship_plans_state_eviction(spark, sf_dir):
     # The batch twin of the same pipeline matches the band-join oracle
     # (stream_flagship_join_watermarked in the correctness gate); here
     # assert the streaming run also produces the in-band rows only.
-    out = run_to_memory(spark, joined, output_mode="append")
+    out = run_to_memory(joined, output_mode="append")
     assert out.count() > 0
 
 
@@ -530,3 +528,30 @@ def test_stream_session_quality_matches_batch_and_sentinel_never_leaks(
     }
     assert streamed == batch
     assert all(uid >= 0 for uid, _ in streamed)
+
+
+def test_replay_session_isolates_conf_from_caller(spark):
+    """VERDICT r05 item 4: replays run on an isolated ``newSession``
+    with the small replay width pinned at construction — the caller's
+    session conf is byte-identical across a full replay (the previous
+    set/restore around start() left a window where a concurrently
+    planned query silently planned at the replay width)."""
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        REPLAY_SHUFFLE_PARTITIONS,
+        replay_session,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    rs = replay_session(spark)
+    assert rs is not spark
+    assert rs.sparkContext is spark.sparkContext
+    assert rs.conf.get(key) == str(REPLAY_SHUFFLE_PARTITIONS)
+    assert replay_session(spark) is rs  # cached — not one SessionState per call
+    stream = wire_stream(rs, [risk_json("a@b.c", 1.0), risk_json("d@e.f", 2.0)])
+    out = run_to_memory(stedi.parse_risk_events(stream))
+    # The memory-sink view lives in the replay session's catalog, and
+    # the result is readable from the returned frame.
+    assert out.sparkSession is rs
+    assert out.count() == 2
+    assert spark.conf.get(key) == before
