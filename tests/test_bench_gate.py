@@ -15,16 +15,30 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest
+
 import bench
 from bench import (
     DRIFT_CAP,
     REGRESSION_FACTOR,
     _baseline_probe,
+    _baseline_stream_probe,
     _baseline_timings,
     credited_drift,
+    family_drifts,
     find_regressions,
     report_and_gate,
 )
+
+
+@pytest.fixture(autouse=True)
+def _no_ambient_baseline_recording(monkeypatch):
+    """ADVICE r05: a dev running pytest with SPARK_GRAFT_RECORD_BASELINE
+    exported must not have gate tests write the pinned baseline.
+    report_and_gate no longer records at all (record=False default),
+    but clear the env anyway so no future test can trip over it."""
+    monkeypatch.delenv("SPARK_GRAFT_RECORD_BASELINE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_FORCE", raising=False)
 
 
 def test_find_regressions_flags_only_over_factor():
@@ -145,6 +159,7 @@ def test_gate_fails_run_on_regression_by_default(monkeypatch, capsys):
         bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0, "s": 1.0}
     )
     monkeypatch.setattr(bench, "_baseline_probe", lambda: 1.0)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
     rc = report_and_gate(
         {"q": 5.0, "r": 1.0, "s": 1.0},
         7.0,
@@ -174,6 +189,7 @@ def test_report_carries_calibration_and_load(monkeypatch, capsys):
     monkeypatch.delenv("SPARK_GRAFT_BENCH_LENIENT", raising=False)
     monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0})
     monkeypatch.setattr(bench, "_baseline_probe", lambda: 0.8)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
     rc = report_and_gate(
         {"q": 1.4, "r": 1.6, "new_q": 2.0},
         5.0,
@@ -194,6 +210,9 @@ def test_report_carries_calibration_and_load(monkeypatch, capsys):
         "sum_now": 3.0,
         "sum_baseline": 2.0,
         "credited_drift": 1.25,
+        # No stream probe in this artifact → the stream family falls
+        # back to the batch credit.
+        "credited_drift_stream": 1.25,
     }
     # No retries → base protocol string (plus the standing QUERY_REPS
     # floor note) and empty retried map.
@@ -210,6 +229,7 @@ def test_report_timing_field_reflects_retries(monkeypatch, capsys):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
     monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
     monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
     report_and_gate(
         {"q": 1.2}, 1.2, 1.2, sf=0.1, reps=2, retried={"q": 3}
     )
@@ -227,6 +247,7 @@ def test_gate_lenient_optout_and_clean_pass(monkeypatch, capsys):
         bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0, "s": 1.0}
     )
     monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
     assert (
         report_and_gate({"q": 5.0, "r": 1.0, "s": 1.0}, 7.0, 7.0, sf=0.1, reps=2)
@@ -309,10 +330,18 @@ def test_maybe_record_baseline_refuses_loaded_box(tmp_path, monkeypatch, capsys)
     """The writer half of the idleness rule: with RECORD_BASELINE set,
     a loaded recording exits 1 and writes NOTHING; a clean recording
     lands in BENCH_BASELINE.json; FORCE overrides loudly (documented
-    hardware-change escape hatch)."""
+    hardware-change escape hatch) — but ONLY with the recording's own
+    loadavg evidence of an idle box (ADVICE r05: the escape hatch must
+    not also skip the idleness check it exists to route around)."""
     from bench import maybe_record_baseline
 
-    loaded = {"calibration": {"probe_s": 0.6}, "queries": {"q": 1.0}}
+    idle_load = {"loadavg_pre": [0.2, 0.3, 0.4], "cpus": 32}
+    busy_load = {"loadavg_pre": [4.59, 4.0, 3.5], "cpus": 32}  # the r04 incident
+    loaded = {
+        "calibration": {"probe_s": 0.6},
+        "queries": {"q": 1.0},
+        "load": idle_load,
+    }
     clean = {"calibration": {"probe_s": 0.455}, "queries": {"q": 1.0}}
     path = tmp_path / "BENCH_BASELINE.json"
 
@@ -330,11 +359,131 @@ def test_maybe_record_baseline_refuses_loaded_box(tmp_path, monkeypatch, capsys)
     assert maybe_record_baseline(clean, str(tmp_path)) == 0
     assert json.loads(path.read_text())["calibration"]["probe_s"] == 0.455
 
+    # FORCE with idle-box loadavg evidence: lands, loudly.
     path.unlink()
     monkeypatch.setenv("SPARK_GRAFT_BASELINE_FORCE", "1")
     assert maybe_record_baseline(loaded, str(tmp_path)) == 0
     assert json.loads(path.read_text())["calibration"]["probe_s"] == 0.6
     assert "BASELINE FORCED" in capsys.readouterr().err
+
+    # FORCE on a busy box (r04's loadavg 4.59 on 32 cpus) or with no
+    # loadavg at all: still refused, nothing written.
+    path.unlink()
+    assert maybe_record_baseline(dict(loaded, load=busy_load), str(tmp_path)) == 1
+    assert "REFUSED even under FORCE" in capsys.readouterr().err
+    no_evidence = {k: v for k, v in loaded.items() if k != "load"}
+    assert maybe_record_baseline(no_evidence, str(tmp_path)) == 1
+    assert not path.exists()
+
+
+def test_force_idleness_error_bar():
+    from bench import force_idleness_error
+
+    ok = {"load": {"loadavg_pre": [0.07, 0.1, 1.0], "cpus": 32}}
+    assert force_idleness_error(ok) is None
+    # 10% of 32 cpus = 3.2 — at the bar passes, over does not.
+    assert force_idleness_error(
+        {"load": {"loadavg_pre": [3.2, 0, 0], "cpus": 32}}
+    ) is None
+    assert force_idleness_error(
+        {"load": {"loadavg_pre": [3.3, 0, 0], "cpus": 32}}
+    ) is not None
+    # Few-core box: the bar floors at 1.0, not 0.1*cpus.
+    assert force_idleness_error(
+        {"load": {"loadavg_pre": [0.9, 0, 0], "cpus": 4}}
+    ) is None
+    assert force_idleness_error({}) is not None
+
+
+def test_report_and_gate_never_records_baseline(tmp_path, monkeypatch, capsys):
+    """ADVICE r05: report_and_gate is called by tests and tooling with
+    whatever env the process inherited — only main() (record=True) may
+    route to maybe_record_baseline. With RECORD_BASELINE exported and a
+    recording clean enough to qualify, a default report_and_gate call
+    still writes nothing."""
+    monkeypatch.setenv("SPARK_GRAFT_RECORD_BASELINE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
+    repo_baseline = os.path.join(os.path.dirname(bench.__file__), "BENCH_BASELINE.json")
+    before = open(repo_baseline, "rb").read() if os.path.exists(repo_baseline) else None
+    assert report_and_gate(
+        {"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2,
+        calibration={"probe_s": 0.455},
+    ) == 0
+    after = open(repo_baseline, "rb").read() if os.path.exists(repo_baseline) else None
+    assert before == after
+    capsys.readouterr()
+
+
+def test_family_drifts_max_of_probes_and_fallback():
+    """VERDICT r05 item 2: the stream family is credited by the MAX of
+    the scan and replay probes (load that taxes the scan taxes replays
+    too; the replay probe additionally sees state-store/scheduling
+    tax), falls back to the scan credit when no stream baseline is
+    recorded, and both stay capped."""
+    d = family_drifts(1.1, 1.0, 1.4, 1.0)
+    assert d == {"batch": 1.1, "stream": 1.4}
+    # Scan probe sees MORE than the stream probe → stream uses the max.
+    d = family_drifts(1.3, 1.0, 1.1, 1.0)
+    assert d["stream"] == 1.3
+    # No stream baseline recorded (pre-r06 artifacts): fall back.
+    d = family_drifts(1.2, 1.0, 0.9, None)
+    assert d == {"batch": 1.2, "stream": 1.2}
+    # Cap applies per family.
+    d = family_drifts(1.0, 1.0, 5.0, 1.0)
+    assert d["stream"] == DRIFT_CAP
+
+
+def test_find_regressions_applies_family_drift():
+    """A stream_* query's bar widens by the STREAM credit, a batch
+    query's by the batch credit, and the suite backstop adjusts each
+    baseline entry by its own family."""
+    baseline = {"q_a": 1.0, "stream_x": 1.0}
+    drifts = {"batch": 1.0, "stream": 1.45}
+    # 2.5x on the batch query flags with the BATCH credit recorded.
+    out = find_regressions({"q_a": 2.5, "stream_x": 0.5}, baseline, drifts)
+    assert set(out) == {"q_a"}
+    assert out["q_a"]["drift"] == 1.0
+    # 2.5x on the stream query is within 2x * 1.45 credited drift.
+    assert find_regressions({"q_a": 0.4, "stream_x": 2.5}, baseline, drifts) == {}
+    # Swap: stream beyond even its widened bar flags, with ITS credit
+    # recorded in the entry.
+    out = find_regressions({"q_a": 0.5, "stream_x": 3.0}, baseline, drifts)
+    assert set(out) == {"stream_x"}
+    assert out["stream_x"]["drift"] == 1.45
+    # Suite backstop: sums adjust per family — 1.4x/1.8x raw trips the
+    # 1.5x sum bar under scalar drift 1.0 but NOT when the stream
+    # entry's bar is widened by its family credit.
+    out = find_regressions({"q_a": 1.4, "stream_x": 1.8}, baseline, 1.0)
+    assert set(out) == {"__suite__"}
+    out = find_regressions({"q_a": 1.4, "stream_x": 1.8}, baseline, drifts)
+    assert out == {}
+
+
+def test_query_family_partition():
+    assert bench.query_family("stream_flagship_join") == "stream"
+    assert bench.query_family("stedi_flagship_join") == "batch"
+    assert bench.query_family("dedup_minhash_lsh") == "batch"
+    # Every headline query resolves to one of the two probes.
+    assert {bench.query_family(n) for n in bench.HEADLINE} <= {"batch", "stream"}
+
+
+def test_stream_probe_baseline_precedence(tmp_path):
+    (tmp_path / "BENCH_r3.json").write_text(
+        json.dumps(
+            {"parsed": {"calibration": {"probe_s": 0.5, "stream_probe_s": 0.8}}}
+        )
+    )
+    assert _baseline_stream_probe(str(tmp_path)) == 0.8
+    (tmp_path / "BENCH_BASELINE.json").write_text(
+        json.dumps({"calibration": {"probe_s": 0.45, "stream_probe_s": 0.7}})
+    )
+    assert _baseline_stream_probe(str(tmp_path)) == 0.7
+    # Artifacts predating the stream probe: None, and the family credit
+    # falls back to the scan probe (see test_family_drifts_*).
+    assert _baseline_stream_probe(str(tmp_path / "nowhere")) is None
 
 
 def test_report_carries_reps_overrides(monkeypatch, capsys):
@@ -345,6 +494,7 @@ def test_report_carries_reps_overrides(monkeypatch, capsys):
     monkeypatch.delenv("SPARK_GRAFT_RECORD_BASELINE", raising=False)
     monkeypatch.setattr(bench, "_baseline_timings", lambda: {})
     monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
     assert bench.report_and_gate({"q": 1.0}, 1.0, 1.0, 0.1, 2) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["reps_overrides"] == dict(sorted(bench.QUERY_REPS.items()))
