@@ -210,6 +210,89 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_prefix_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.3,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-generation half of ``ngram_jaccard_pairs`` — returns
+    ``(cand, sized)``: the deduplicated (id_a, id_b) candidate pairs
+    from the prefix-filtered equi-join, plus the persisted slim
+    shingle table the verifier reads. Split out (r06) so the stress
+    decomposition (scripts/stress_ngram_decompose.py, SCALING.md) can
+    time candidate generation and verification separately without
+    duplicating the pipeline; ``ngram_jaccard_pairs`` below is the
+    single public composition. Semantics and the losslessness argument
+    are documented there."""
+    from pyspark.sql.window import Window
+
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    # Persist the slim shingle-set table: the prefix build and the
+    # pair verification both derive from it.
+    sized = managed_persist(
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("blk"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col), "blk", F.size("sh").alias("sz"), "sh")
+    )
+    ex = sized.select(F.col(id_col), "blk", "sz", F.explode("sh").alias("s"))
+    # Global canonical order = (per-block df, shingle) ascending:
+    # rarest first, total (shingles are distinct per block row), so
+    # every doc ranks its shingles identically — the property the
+    # prefix lemma needs. One shuffle on (blk, s) for the df counts,
+    # one on id for the per-doc ranking; both linear in corpus tokens.
+    freq = ex.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("df", "s")
+    )
+    t_eff = threshold - 1e-6  # pruning slack; see ngram_jaccard_pairs
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)) + 1
+    )
+    # Deliberately NOT persisted although both sides of the candidate
+    # self-join consume it: the two sides are alias-identical plans, so
+    # ReuseExchange dedupes their shuffles at the physical layer and
+    # the prefix pipeline executes once either way — unlike `sig` in
+    # minhash_lsh_pairs, whose two consumers (banding explode vs
+    # verify) are NOT canonically identical subtrees. Measured at the
+    # ×10 dup-stress (same box, back-to-back): persist 124.2 s vs
+    # reuse-exchange 101.6 s — the cache only added ~5M-row
+    # materialization cost on the operator's hot path.
+    pref = (
+        ex.join(freq, ["blk", "s"])
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col(id_col), "blk", "sz", "s")
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"), "blk", F.col("sz").alias("sa"), "s"
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), "blk", F.col("sz").alias("sb"), "s"
+    )
+    cand = (
+        a.join(b, ["blk", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # Size filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A| —
+        # applied at the slackened bound so a float-rounded product
+        # never prunes a pair the verifier would accept.
+        .filter(
+            (F.col("sb") >= t_eff * F.col("sa") - 1e-9)
+            & (F.col("sa") >= t_eff * F.col("sb") - 1e-9)
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand, sized
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -252,68 +335,8 @@ def ngram_jaccard_pairs(
     (pinned by tests/test_operators.py::test_ngram_jaccard_float_boundary
     and the t∈{0.3, 0.5, 0.55} property fuzz).
     """
-    from pyspark.sql.window import Window
-
-    if threshold <= 0:
-        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
-    # Persist the slim shingle-set table: the prefix build and the
-    # pair verification both derive from it.
-    sized = managed_persist(
-        df.select(
-            F.col(id_col),
-            F.col(block_col).alias("blk"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .select(F.col(id_col), "blk", F.size("sh").alias("sz"), "sh")
-    )
-    ex = sized.select(F.col(id_col), "blk", "sz", F.explode("sh").alias("s"))
-    # Global canonical order = (per-block df, shingle) ascending:
-    # rarest first, total (shingles are distinct per block row), so
-    # every doc ranks its shingles identically — the property the
-    # prefix lemma needs. One shuffle on (blk, s) for the df counts,
-    # one on id for the per-doc ranking; both linear in corpus tokens.
-    freq = ex.groupBy("blk", "s").agg(F.count(F.lit(1)).alias("df"))
-    rn = F.row_number().over(
-        Window.partitionBy(id_col).orderBy("df", "s")
-    )
-    t_eff = threshold - 1e-6  # pruning slack; see docstring
-    prefix_len = (
-        F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)) + 1
-    )
-    # Deliberately NOT persisted although both sides of the candidate
-    # self-join consume it: the two sides are alias-identical plans, so
-    # ReuseExchange dedupes their shuffles at the physical layer and
-    # the prefix pipeline executes once either way — unlike `sig` in
-    # minhash_lsh_pairs, whose two consumers (banding explode vs
-    # verify) are NOT canonically identical subtrees. Measured at the
-    # ×10 dup-stress (same box, back-to-back): persist 124.2 s vs
-    # reuse-exchange 101.6 s — the cache only added ~5M-row
-    # materialization cost on the operator's hot path.
-    pref = (
-        ex.join(freq, ["blk", "s"])
-        .withColumn("rn", rn)
-        .filter(F.col("rn") <= prefix_len)
-        .select(F.col(id_col), "blk", "sz", "s")
-    )
-    a = pref.select(
-        F.col(id_col).alias("id_a"), "blk", F.col("sz").alias("sa"), "s"
-    )
-    b = pref.select(
-        F.col(id_col).alias("id_b"), "blk", F.col("sz").alias("sb"), "s"
-    )
-    cand = (
-        a.join(b, ["blk", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # Size filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A| —
-        # applied at the slackened bound so a float-rounded product
-        # never prunes a pair the verifier would accept.
-        .filter(
-            (F.col("sb") >= t_eff * F.col("sa") - 1e-9)
-            & (F.col("sa") >= t_eff * F.col("sb") - 1e-9)
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand, sized = ngram_prefix_candidates(
+        df, text_col, id_col, block_col, shingle_n, threshold
     )
     # Verify on full shingle arrays, candidates only.
     return _verify_jaccard(
@@ -693,6 +716,85 @@ def _cc_width(n_rows: int, session_width: int) -> int:
     return max(1, min(session_width, n_rows // 65_536 + 1))
 
 
+def _cc_merge_map(edges: DataFrame, w: int) -> DataFrame:
+    """One contraction round's POINTER-DOUBLED merge map m∘m over a
+    symmetrized (src, dst) edge frame: m(u) = min({u} ∪ N(u)), then one
+    self-join follows the map a second hop. Returns the PLAN; the loop
+    localCheckpoints it before fan-out (both the relabel and the
+    contraction consume it). Split out of connected_components (r06)
+    so scripts/dump_plans.py can render a round's physical plan — the
+    final converged frame's plan shows only materialized scan blocks.
+
+    WIDTH REALITY (r06, discovered via the regenerated plan dump):
+    the round's JOIN exchanges cannot be width-scoped from the
+    DataFrame layer. The checkpointed inputs scan as
+    UnknownPartitioning (their physical src-clustering is real but
+    invisible to the planner), so every join input needs a shuffle —
+    and when ALL of a join's children are shuffles, EnsureRequirements
+    sizes them at the SESSION ``spark.sql.shuffle.partitions``,
+    overwriting any user ``repartition(w, key)`` underneath (verified:
+    both sides explicitly repartitioned at 2 still plan at the session
+    width, AQE on or off). At runtime AQE's coalescing right-sizes
+    those reducers to the data, which is why forced-width A/Bs
+    measured equivalent (SCALING.md r05). What ``w`` DOES control —
+    and what _cc_width is really sizing — is the round's materialized
+    block count via the FINAL ``repartition(w, src)`` in
+    _cc_apply_round: the map-side task count of every exchange in the
+    NEXT round, the fixed cost that made tiny rounds pay 32 task
+    launches per stage. The two sides of the m self-join are
+    alias-identical subtrees, so ReuseExchange computes m once."""
+    m = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nb"))
+        .select("src", F.least("src", "_nb").alias("mn"))
+    )
+    return (
+        m.repartition(w, "mn")
+        .join(
+            m.select(F.col("src").alias("_s"), F.col("mn").alias("_m")),
+            F.col("mn") == F.col("_s"),
+            "left",
+        )
+        .select("src", F.coalesce("_m", "mn").alias("mn"))
+    )
+
+
+def _cc_apply_round(
+    edges: DataFrame, mapping: DataFrame, m2: DataFrame, w: int
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a MATERIALIZED merge map: relabel the node→super-node
+    mapping (frozen components left-join to nothing and keep their
+    label via coalesce) and contract the edge set onto merged ids
+    (self-loops and duplicate edges drop out, so the working set
+    shrinks monotonically). Returns (mapping_plan, edges_plan); the
+    loop localCheckpoints both. The FINAL ``repartition(w, src)`` is
+    the one width that sticks (see _cc_merge_map's width-reality
+    note): it clusters the (src, dst) dedup, and it fixes the
+    materialized round at w blocks — the map-side task count of every
+    next-round exchange, the per-round fixed cost _cc_width sizes.
+    Join reducer widths are the session width at plan time, coalesced
+    by AQE at run time."""
+    new_mapping = (
+        mapping.repartition(w, "label")
+        .join(m2, F.col("label") == F.col("src"), "left")
+        .select("node", F.coalesce("mn", "label").alias("label"))
+    )
+    new_edges = (
+        edges.join(m2, "src")
+        .select(F.col("mn").alias("src"), "dst")
+        .repartition(w, "dst")
+        .join(
+            m2.select(F.col("src").alias("dst"), F.col("mn").alias("_dmn")),
+            "dst",
+        )
+        .select("src", F.col("_dmn").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(w, "src")
+        .dropDuplicates(["src", "dst"])
+    )
+    return new_mapping, new_edges
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 20) -> DataFrame:
     """Connected components over an undirected pair set → (node,
@@ -717,8 +819,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
       contracts to a singleton in one round and its edges vanish from
       every later round (frozen components cost nothing), so rounds
       after the first touch only the still-merging residue;
-    - rounds needed drop from O(diameter) to O(log diameter)-ish
-      under the doubled map.
+    - the doubled map roughly HALVES the rounds a chain-like graph
+      needs (each application follows two merge hops, so an n-node
+      path contracts in ~n/2 rounds instead of ~n — measured: an
+      8-node path converges in 4 rounds). Near-dup graphs are
+      clique-like and collapse in 1-2 rounds regardless; true
+      O(log diameter) would need iterating the doubling to fixpoint
+      within each round, extra map-sized joins the adversarial chain
+      shape doesn't arise often enough in dedup graphs to justify.
 
     The input `pairs` plan is evaluated ONCE — checkpointed BEFORE
     symmetrization, so the union reads the materialized blocks twice
@@ -739,11 +847,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     full edge set). The loop width is therefore chosen PER ROUND from
     the measured edge count (``_cc_width``: ~64k slim edge rows per
     task, capped at the session width — the convergence count every
-    round already pays for the statistic), applied via
-    ``.repartition(w, key)`` scoped to the loop frames only — no
-    session-global ``spark.sql.shuffle.partitions`` mutation (VERDICT
-    r04 item 2: the global pin would silently re-plan any
-    concurrently built query at width 4).
+    round already pays for the statistic) with no session-global
+    ``spark.sql.shuffle.partitions`` mutation (VERDICT r04 item 2:
+    the global pin would silently re-plan any concurrently built
+    query at width 4). What w physically controls is the round's
+    MATERIALIZED BLOCK COUNT (the final ``repartition(w, src)`` before
+    each checkpoint) — i.e. the map-side task count of every exchange
+    in the next round; the joins' reducer widths plan at the session
+    width and AQE coalesces them to the data at run time (see
+    _cc_merge_map's width-reality note — a user repartition under a
+    join whose children are all shuffles is resized to the session
+    width by EnsureRequirements, so they cannot be scoped from the
+    DataFrame layer).
     """
     if max_iterations <= 0:
         # A non-positive budget would skip the loop and return every
@@ -784,50 +899,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     )
     remaining = 0
     for _ in range(max_iterations):
-        # m: super-node → min({self} ∪ neighbors). hash(src, W) input →
-        # the aggregate needs no exchange.
-        m = (
-            edges.groupBy("src")
-            .agg(F.min("dst").alias("_nb"))
-            .select("src", F.least("src", "_nb").alias("mn"))
-        )
-        # Pointer doubling: follow the merge map one extra hop (targets
-        # are themselves sources unless already fixpoints).
-        m2 = (
-            m.repartition(w, "mn")
-            .join(
-                m.select(F.col("src").alias("_s"), F.col("mn").alias("_m")),
-                F.col("mn") == F.col("_s"),
-                "left",
-            )
-            .select("src", F.coalesce("_m", "mn").alias("mn"))
-            .localCheckpoint()
-        )
-        mapping = (
-            mapping.repartition(w, "label")
-            .join(m2, F.col("label") == F.col("src"), "left")
-            .select("node", F.coalesce("mn", "label").alias("label"))
-            .localCheckpoint()
-        )
-        # Contract: rewrite both endpoints onto merged ids; self-loops
-        # (fully merged adjacencies) and duplicate edges drop out, so
-        # the working set shrinks monotonically. hash(src, W) satisfies
-        # the (src, dst) dedup clustering and feeds the next round's
-        # groupBy without a further exchange.
-        edges = (
-            edges.join(m2, "src")
-            .select(F.col("mn").alias("src"), "dst")
-            .repartition(w, "dst")
-            .join(
-                m2.select(F.col("src").alias("dst"), F.col("mn").alias("_dmn")),
-                "dst",
-            )
-            .select("src", F.col("_dmn").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .repartition(w, "src")
-            .dropDuplicates(["src", "dst"])
-            .localCheckpoint()
-        )
+        # Merge map (m∘m, _cc_merge_map) materialized once per round:
+        # both the relabel and the contraction consume it.
+        m2 = _cc_merge_map(edges, w).localCheckpoint()
+        # Relabel + contract (_cc_apply_round): self-loops and
+        # duplicate edges drop out, so the working set shrinks
+        # monotonically; the trailing hash(src, W) feeds the next
+        # round's groupBy without a further exchange.
+        mapping, edges = _cc_apply_round(edges, mapping, m2, w)
+        mapping = mapping.localCheckpoint()
+        edges = edges.localCheckpoint()
         remaining = edges.count()
         if remaining == 0:
             break
@@ -836,11 +917,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # Exhausting the iteration budget mid-contraction would return
         # plausible-looking but WRONG labels (one component split across
         # several cluster_ids). Fail loudly instead — the caller should
-        # raise the budget (rounds needed ≈ log2(component diameter)).
+        # raise the budget (chain-like graphs contract ~2 hops per
+        # round, so worst case ≈ half the component diameter; ADVICE
+        # r05 — the earlier log2(diameter) guidance under-budgeted
+        # chains).
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             f"iterations ({remaining} edges still contracting); raise "
-            "max_iterations above log2 of the component graph diameter"
+            "max_iterations to ~half the largest component's diameter "
+            "(clique-like near-dup graphs converge in 1-2 rounds; long "
+            "chains need ~diameter/2)"
         )
     # The final frame is localCheckpointed (already materialized); the
     # consuming plan scans those blocks and the ContextCleaner frees
