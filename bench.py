@@ -59,16 +59,22 @@ HEADLINE = [
 # by default (exit 1); set SPARK_GRAFT_BENCH_LENIENT=1 for exploratory
 # runs where a known-slow work-in-progress query shouldn't abort.
 #
-# Drift policy (VERDICT r03 item 1): environmental drift — a slower or
-# loaded box — is estimated from an INDEPENDENT calibration probe, not
-# from the judged queries themselves. The probe is a code-frozen,
-# data-independent Spark job (range → md5 → hash aggregate) whose plan
-# never changes round to round, so its now/baseline ratio measures the
-# BOX, not the code. The credited drift is capped well below the
-# regression factor (ADVICE r03: an uncapped estimate widens every
-# per-query bar exactly when regressions are broadest); beyond the cap
-# the run flags queries and a human adjudicates with the probe +
-# loadavg numbers that are now in the artifact.
+# Drift policy (VERDICT r03 item 1, family-split r06): environmental
+# drift — a slower or loaded box — is estimated from INDEPENDENT
+# calibration probes, not from the judged queries themselves. Two
+# code-frozen, data-independent probes whose plans never change round
+# to round, so their now/baseline ratios measure the BOX, not the
+# code: a scan-shaped probe (range → md5 → hash aggregate, the
+# whole-stage-codegen cost class) credits the batch family, and a
+# replay-shaped probe (bounded multi-micro-batch stateful drain — the
+# state-store/scheduling cost class background load taxes far harder;
+# r05 measured replays drifting 1.19-1.44x while the scan probe read
+# 1.055x) credits the stream_* family at max(scan, stream). Credited
+# drift is capped per family well below the regression factor (ADVICE
+# r03: an uncapped estimate widens every per-query bar exactly when
+# regressions are broadest); beyond the cap the run flags queries and
+# a human adjudicates with the probe + loadavg numbers in the
+# artifact.
 REGRESSION_FACTOR = 2.0
 DRIFT_CAP = 1.5
 # The suite-wide backstop judges the gated-set SUM at a TIGHTER factor
