@@ -295,8 +295,29 @@ def streaming_calibration_probe(
 
 def query_family(name: str) -> str:
     """Which calibration probe's drift credit applies to a query:
-    ``stream`` for the replay-based stream_* family (micro-batch +
-    state-store cost class), ``batch`` for everything else."""
+    ``stream`` for replay-based queries (micro-batch + state-store
+    cost class), ``batch`` for everything else. The decision reads
+    the registry's own ``streaming`` tag — the single source of truth
+    the queries declare — so a future replay query not named
+    ``stream_*`` still gets the replay probe's credit (review
+    finding: the name-prefix rule silently mis-credited any
+    differently-named replay). Names absent from the registry (gate
+    unit tests, renamed queries mid-flight) fall back to the name
+    prefix."""
+    try:
+        from evaluate_human_balance_with_spark_streaming_spark.plans.registry import (
+            QUERIES,
+            _ensure_loaded,
+        )
+
+        _ensure_loaded()
+        q = QUERIES.get(name)
+        if q is not None:
+            return "stream" if "streaming" in q.tags else "batch"
+    except Exception:
+        # Registry unimportable (e.g. a stripped-down env) must not
+        # take the gate down — the prefix heuristic is the fallback.
+        pass
     return "stream" if name.startswith("stream_") else "batch"
 
 
@@ -399,28 +420,30 @@ def _baseline_timings(here: str | None = None) -> dict[str, float]:
     return timings
 
 
-def _baseline_probe(here: str | None = None) -> float | None:
-    """The recorded calibration-probe seconds, from the same artifacts
-    (later sources win) — None until one has been recorded."""
-    probe = None
+def _baseline_calibration_value(key: str, here: str | None = None) -> float | None:
+    """A recorded calibration field from the baseline artifacts, same
+    precedence walk as _baseline_timings (later sources win) — None
+    until some artifact recorded it."""
+    value = None
     for art in _baseline_artifacts(here):
-        p = (art.get("calibration") or {}).get("probe_s")
-        if p:
-            probe = p
-    return probe
+        v = (art.get("calibration") or {}).get(key)
+        if v:
+            value = v
+    return value
+
+
+def _baseline_probe(here: str | None = None) -> float | None:
+    """The recorded scan-probe seconds — None until one has been
+    recorded."""
+    return _baseline_calibration_value("probe_s", here)
 
 
 def _baseline_stream_probe(here: str | None = None) -> float | None:
-    """The recorded STREAMING-probe seconds (``stream_probe_s``), same
-    precedence — None until a baseline recorded after the probe was
-    introduced (r06) exists, in which case the stream family falls
-    back to the scan probe's credit."""
-    probe = None
-    for art in _baseline_artifacts(here):
-        p = (art.get("calibration") or {}).get("stream_probe_s")
-        if p:
-            probe = p
-    return probe
+    """The recorded STREAMING-probe seconds (``stream_probe_s``) —
+    None until a baseline recorded after the probe was introduced
+    (r06) exists, in which case the stream family falls back to the
+    scan probe's credit."""
+    return _baseline_calibration_value("stream_probe_s", here)
 
 
 def credited_drift(probe_now: float | None, probe_base: float | None) -> float:
@@ -693,8 +716,8 @@ def main() -> int:
 
     # Phantom-stall retry: the probe rep series has recorded isolated
     # ~20s reps amid 0.6s neighbors — intermittent host-level stalls
-    # long enough to poison BOTH best-of-2 reps of a single query. A
-    # per-query flag must therefore survive a clean retry before it
+    # long enough to poison ALL `reps` best-of reps of a single query.
+    # A per-query flag must therefore survive a clean retry before it
     # gates the run; a flag that reproduces across 2*reps attempts
     # spread over the run is a real regression, not a stall. The gate
     # math itself is untouched — only the timing gets more attempts,

@@ -51,9 +51,23 @@ def replay_session(
     planned at the replay width (VERDICT r05: the same hazard class as
     the CC global pin removed that round). Conf on a ``newSession`` is
     set once at construction and never touches the caller's session — a
-    test pins the caller conf byte-identical across a replay."""
+    test pins the caller conf byte-identical across a replay.
+
+    The effective width is floored by the caller's own shuffle width
+    (review finding: the old set/restore used min(prev, 4), and a
+    narrow box — e.g. SPARK_GRAFT_CPUS=1 → session width 1 — should
+    not have its replays pay 4× the state-store open/commit count the
+    pin exists to minimize)."""
     from ..session import apply_runtime_conf
 
+    try:
+        width = max(
+            1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), width)
+        )
+    except (ValueError, TypeError):
+        # Auto-tuning platforms report a non-numeric width; keep the
+        # requested replay width.
+        pass
     key = (id(spark.sparkContext), width)
     sess = _REPLAY_SESSIONS.get(key)
     if sess is None:

@@ -463,11 +463,29 @@ def test_find_regressions_applies_family_drift():
 
 
 def test_query_family_partition():
+    """The family decision reads the registry's own `streaming` tag —
+    not the name — so a future replay query named without the
+    stream_ prefix still gets the replay probe's credit (review
+    finding: the original prefix rule plus a vacuous <= {batch,
+    stream} assertion could not catch that)."""
     assert bench.query_family("stream_flagship_join") == "stream"
     assert bench.query_family("stedi_flagship_join") == "batch"
     assert bench.query_family("dedup_minhash_lsh") == "batch"
-    # Every headline query resolves to one of the two probes.
-    assert {bench.query_family(n) for n in bench.HEADLINE} <= {"batch", "stream"}
+    # Names not in the registry (the gate tests' synthetic names)
+    # fall back to the prefix heuristic.
+    assert bench.query_family("stream_x") == "stream"
+    assert bench.query_family("q_a") == "batch"
+    # Tag, not prefix, decides for every registered query.
+    from evaluate_human_balance_with_spark_streaming_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    assert len(QUERIES) >= 50
+    for name, q in QUERIES.items():
+        expected = "stream" if "streaming" in q.tags else "batch"
+        assert bench.query_family(name) == expected, name
 
 
 def test_stream_probe_baseline_precedence(tmp_path):
