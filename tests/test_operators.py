@@ -644,14 +644,16 @@ def test_connected_components_raises_when_budget_too_small(spark):
 
 
 def test_connected_components_leaves_session_conf_alone(spark):
-    """The contraction rounds pin their small width via scoped
-    .repartition on the loop frames ONLY (VERDICT r04 item 2): the
-    session-global spark.sql.shuffle.partitions must be byte-identical
-    before, during and after — the old global pin would silently plan
-    any concurrently built query at width 4. The during-call probe
-    rides a plan built lazily here and evaluated mid-loop via the
-    convergence count's scheduler barrier being absent — so assert
-    around the call and on a mid-build read instead."""
+    """The contraction rounds size their materialized block count via
+    .repartition on the loop frames ONLY (VERDICT r04 item 2; join
+    reducer widths are the session width + AQE — see the width-reality
+    note in dedup.py): the session-global spark.sql.shuffle.partitions
+    must be byte-identical before, during and after — the old global
+    pin would silently plan any concurrently built query at width 4.
+    The during-call probe rides a plan built lazily here and evaluated
+    mid-loop via the convergence count's scheduler barrier being
+    absent — so assert around the call and on a mid-build read
+    instead."""
     from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
         connected_components,
     )
