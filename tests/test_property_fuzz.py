@@ -182,11 +182,12 @@ def test_simhash_explode_form_equals_single_expression_form(spark, texts):
 )
 @_SETTINGS
 def test_connected_components_matches_union_find(spark, edges):
-    """connected_components (iterative min-label propagation with
-    per-round localCheckpoint lineage truncation) must agree with a
-    plain-Python union-find on ANY random pair graph: same node set,
-    same cluster_id = min node id per component. Guards the distributed
-    propagation (and its convergence test) against off-by-one-round
+    """connected_components (contraction CC: star-merge +
+    pointer-doubled merge map, per-round localCheckpoint lineage
+    truncation — the r05 rewrite) must agree with a plain-Python
+    union-find on ANY random pair graph: same node set, same
+    cluster_id = min node id per component. Guards the distributed
+    contraction (and its convergence guard) against off-by-one-round
     bugs that a single fixed dataset would not expose."""
     from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
         connected_components,
