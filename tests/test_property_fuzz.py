@@ -17,6 +17,7 @@ Properties pinned:
 from __future__ import annotations
 
 import json
+import os
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -36,8 +37,12 @@ _field = st.text(
     max_size=40,
 )
 
+# 8 examples per property keeps the default suite fast (~0.5-2 s of
+# Spark per example); SPARK_GRAFT_FUZZ_EXAMPLES=N runs a deep campaign
+# (e.g. 100) — used for the per-round deep-fuzz sweep recorded in
+# COVERAGE.md.
 _SETTINGS = settings(
-    max_examples=8,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
