@@ -48,6 +48,40 @@ def on_release(fn) -> None:
     _CALLBACKS.append(fn)
 
 
+def managed_mark() -> tuple[int, int]:
+    """Snapshot of the managed-resource registries, for a SCOPED
+    release: a caller that registers resources mid-flight (e.g. the
+    bench's streaming calibration probe, which runs between a built
+    suite's queries) can free only what IT registered with
+    ``release_managed_since(mark)`` instead of sweeping every pending
+    barrier process-wide — the silent-recompute trap ADVICE r06
+    flagged for any caller with built-but-unevaluated plans pending."""
+    return (len(_MANAGED), len(_CALLBACKS))
+
+
+def release_managed_since(mark: tuple[int, int], blocking: bool = False) -> int:
+    """Release only the caches/callbacks registered AFTER ``mark``
+    (see ``managed_mark``). Entries below the mark are left untouched
+    for the owning queries' own release_managed sweep. Returns the
+    number of caches released."""
+    lo_m, lo_c = mark
+    n = 0
+    while len(_MANAGED) > lo_m:
+        df = _MANAGED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    while len(_CALLBACKS) > lo_c:
+        fn = _CALLBACKS.pop()
+        try:
+            fn()
+        except Exception:
+            pass
+    return n
+
+
 def release_managed(blocking: bool = False) -> int:
     """Unpersist every tracked cache (safe on never-materialized or
     already-unpersisted frames) and run registered cleanup callbacks.

@@ -13,6 +13,8 @@ the two-phase pattern for keys too hot for AQE alone.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -700,6 +702,32 @@ def user_activity_similarity(
     if day_top is not None:
         if day_top < 1:
             raise ValueError(f"day_top must be >= 1, got {day_top}")
+        # Runtime recall guard (VERDICT r06 item 5): the measured
+        # recall curve (scripts/day_top_recall.py, SCALING.md r06) is
+        # MARGIN-DEPENDENT — on a dense uniform corpus exact-score
+        # recall collapses to ~0.08 the moment C drops below the
+        # busiest day's active-user count, so a caller must never get
+        # that silently believing the dial bought ~0.9. The busiest-day
+        # count is one tiny aggregate over the already-persisted slim
+        # profile (~#days rows), the same deliberate plan-build stats
+        # action class as measured_grid_buckets; C >= busiest day means
+        # no pair was pruned anywhere and the result is exact (pinned
+        # by a unit test), so the exact path stays silent.
+        busiest = (
+            ud.groupBy("day").count().agg(F.max("count").alias("mx")).first()["mx"]
+            or 0
+        )
+        if day_top < busiest:
+            warnings.warn(
+                f"day_top={day_top} is below the busiest day's "
+                f"{busiest} active users: candidate pruning is ACTIVE "
+                "and recall is margin-dependent (measured near-zero "
+                "exact-score recall on dense uniform corpora — "
+                "SCALING.md r06 day_top curve). Raise day_top to >= "
+                f"{busiest} for the exact result, or treat the output "
+                "as an approximate candidate set.",
+                stacklevel=2,
+            )
         wd = Window.partitionBy("day").orderBy(
             F.col("n").desc(), F.col("user_id").asc()
         )

@@ -32,8 +32,15 @@ REPLAY_SHUFFLE_PARTITIONS = 4
 
 # One replay session per (SparkContext, width): newSession() would
 # otherwise rebuild a SessionState (catalog, conf, listener wiring) per
-# replay query.
-_REPLAY_SESSIONS: dict[tuple[int, int], SparkSession] = {}
+# replay query. Keyed by applicationId, not id(sparkContext): after a
+# context stop/restart in one process, the CPython allocator can hand
+# the new SparkContext the old object's id, which would return a cached
+# replay session bound to the DEAD context (ADVICE r06). applicationId
+# is minted per context launch (local mode: "local-<ms timestamp>"), so
+# a restarted context always misses the cache; entries for dead
+# contexts are evicted on the next call (the dict otherwise holds one
+# session per width for the process's whole life).
+_REPLAY_SESSIONS: dict[tuple[str, int], SparkSession] = {}
 
 
 def replay_session(
@@ -68,7 +75,10 @@ def replay_session(
         # Auto-tuning platforms report a non-numeric width; keep the
         # requested replay width.
         pass
-    key = (id(spark.sparkContext), width)
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _REPLAY_SESSIONS if k[0] != app_id]:
+        del _REPLAY_SESSIONS[stale]
+    key = (app_id, width)
     sess = _REPLAY_SESSIONS.get(key)
     if sess is None:
         sess = spark.newSession()

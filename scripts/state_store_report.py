@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""State-store telemetry for the two flagship stream joins (VERDICT
+r06 item 2): run the UNBOUNDED parity join (reference
+sparkpykafkajoin.py:196-198's grow-forever semantic) and the
+WATERMARKED band-join variant over the same K×-replicated wire, and
+report each micro-batch's ``stateOperators`` from the streaming
+progress telemetry — rows kept, memory used, rows evicted. This turns
+the README's "state is a dial" claim into a measured table: unbounded
+state grows with input, the watermarked plan evicts and holds state
+~flat, and the provider (HDFSBacked in-JVM vs RocksDB native,
+selected by SPARK_GRAFT_STATE_STORE before launch — it is builder-time
+conf, session.py:109-122) changes the cost/capacity point, not the
+semantics.
+
+The replay deliberately bypasses run_to_memory: that helper drops the
+StreamingQuery handle, and ``recentProgress`` — the per-micro-batch
+stateOperators feed this script exists to read — lives on the handle.
+Same session discipline as the bench (conf-isolated replay_session,
+2-files-per-trigger wire), so the numbers are like-for-like with
+BENCH/SCALING rows.
+
+Usage:
+    python scripts/state_store_report.py [sf_dir] [K]
+    SPARK_GRAFT_STATE_STORE=rocksdb python scripts/state_store_report.py
+
+Defaults: /root/testdata/sf0.1, K=10. Feeds SCALING.md r07.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+from stress_scale import prepare_stream_flagship, _flagship_wires  # noqa: E402
+
+from evaluate_human_balance_with_spark_streaming_spark.plans import stedi  # noqa: E402
+from evaluate_human_balance_with_spark_streaming_spark.session import (  # noqa: E402
+    get_spark,
+)
+from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (  # noqa: E402
+    replay_session,
+)
+from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (  # noqa: E402
+    _WIRE_TS_SCHEMA,
+    _cust_ts_wire,
+    _open_wire,
+)
+
+
+def _drain_with_progress(stream_df, output_mode: str, timeout_sec: int = 600):
+    """availableNow drain into a throwaway memory sink, KEEPING the
+    query handle long enough to harvest recentProgress (the one thing
+    runner.run_to_memory cannot give us)."""
+    spark = stream_df.sparkSession
+    name = f"ssr_{uuid.uuid4().hex[:12]}"
+    checkpoint = tempfile.mkdtemp(prefix="ehb-ssr-ckpt-")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        t0 = time.time()
+        if not query.awaitTermination(timeout_sec):
+            query.stop()
+            raise TimeoutError(f"replay did not drain in {timeout_sec}s")
+        wall = time.time() - t0
+        progress = [json.loads(p.json) for p in query.recentProgress]
+        rows = spark.table(name).count()
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return rows, wall, progress
+
+
+def _state_rows(progress: list[dict]) -> list[dict]:
+    out = []
+    for p in progress:
+        for op in p.get("stateOperators") or []:
+            out.append(
+                {
+                    "batch": p.get("batchId"),
+                    "op": op.get("operatorName"),
+                    "rows_total": op.get("numRowsTotal"),
+                    "rows_updated": op.get("numRowsUpdated"),
+                    "rows_removed": op.get("numRowsRemoved"),
+                    "mem_bytes": op.get("memoryUsedBytes"),
+                }
+            )
+    return out
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    k = int(args[1]) if len(args) > 1 else 10
+    provider = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() or "hdfs"
+
+    spark = get_spark("state-store-report")
+    effective = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    print(f"# provider={provider} ({effective.rsplit('.', 1)[-1]}), K={k}, {sf_dir}")
+
+    prepare_stream_flagship(spark, sf_dir, k)
+    cust_path, risk_path = _flagship_wires(spark, sf_dir, k)
+    rs = replay_session(spark)
+
+    variants = {
+        "unbounded": lambda: stedi.flagship_pipeline(
+            _open_wire(rs, cust_path), _open_wire(rs, risk_path)
+        ),
+        "watermarked": lambda: stedi.flagship_pipeline_watermarked(
+            _open_wire(rs, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA),
+            _open_wire(rs, risk_path),
+        ),
+    }
+    for label, build in variants.items():
+        rows, wall, progress = _drain_with_progress(build(), "append")
+        states = _state_rows(progress)
+        print(f"\n## {label}: {rows} output rows, {wall:.1f}s wall")
+        print(
+            f"{'batch':>5} {'rows_total':>10} {'rows_updated':>12} "
+            f"{'rows_removed':>12} {'mem_MiB':>8}"
+        )
+        for s in states:
+            mem = (s["mem_bytes"] or 0) / (1024 * 1024)
+            print(
+                f"{s['batch']:>5} {s['rows_total']:>10} {s['rows_updated']:>12} "
+                f"{s['rows_removed']:>12} {mem:>8.1f}"
+            )
+        if states:
+            final = states[-1]
+            print(
+                f"# final state: {final['rows_total']} rows, "
+                f"{(final['mem_bytes'] or 0) / (1024 * 1024):.1f} MiB "
+                f"({'grows with input' if label == 'unbounded' else 'eviction-bounded'})"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,16 @@ from pyspark.sql import functions as F  # noqa: E402
 
 REPS = 3
 
+# The verify stage's best-of-3 spread 73.6-111 s across r06 sweeps on
+# this box (SCALING.md r06, VERDICT r06 item 3) — the same
+# under-sampling profile that earned dedup_minhash_lsh its best-of-5
+# floor in bench.py (QUERY_REPS): the stage materializes ~225k output
+# pairs through a freshly generated Jaccard-intersection kernel, and
+# the first reps bill C2 JIT compile bandwidth that varies with
+# whatever else the box compiled recently. Floor it at 5 so the
+# recorded minimum samples the settled tail, not the compile ramp.
+VERIFY_REPS_FLOOR = 5
+
 
 def main() -> None:
     args = sys.argv[1:]
@@ -73,8 +83,9 @@ def main() -> None:
     release_managed()
 
     print(
-        f"{'K':>3} {'cand_rows':>10} {'cand_s (best of 3)':>24} "
-        f"{'out_rows':>9} {'verify_s (best of 3)':>26}"
+        f"{'K':>3} {'cand_rows':>10} {f'cand_s (best of {REPS})':>24} "
+        f"{'out_rows':>9} "
+        f"{f'verify_s (best of {max(REPS, VERIFY_REPS_FLOOR)})':>26}"
     )
     results: dict[int, tuple[float, float]] = {}
     for k in ks:
@@ -103,7 +114,7 @@ def main() -> None:
         cand_m = cand.localCheckpoint()
         ver_times: list[float] = []
         n_out = 0
-        for _ in range(REPS):
+        for _ in range(max(REPS, VERIFY_REPS_FLOOR)):
             t0 = time.time()
             n_out = dedup._verify_jaccard(
                 cand_m, sized.select(F.col("doc_id"), "sh"), "doc_id", 0.3

@@ -342,7 +342,12 @@ def test_maybe_record_baseline_refuses_loaded_box(tmp_path, monkeypatch, capsys)
         "queries": {"q": 1.0},
         "load": idle_load,
     }
-    clean = {"calibration": {"probe_s": 0.455}, "queries": {"q": 1.0}}
+    # A qualifying recording now needs BOTH probes clean (ADVICE r06:
+    # the scan probe is blind to state-store-class load).
+    clean = {
+        "calibration": {"probe_s": 0.455, "stream_probe_s": 1.34},
+        "queries": {"q": 1.0},
+    }
     path = tmp_path / "BENCH_BASELINE.json"
 
     # Env unset: no-op regardless of artifact health.
@@ -355,6 +360,20 @@ def test_maybe_record_baseline_refuses_loaded_box(tmp_path, monkeypatch, capsys)
     assert maybe_record_baseline(loaded, str(tmp_path)) == 1
     assert not path.exists()
     assert "BASELINE REFUSED" in capsys.readouterr().err
+
+    # Scan probe clean but stream probe missing or loaded: refused —
+    # the state-store cost class carries its own idleness evidence.
+    scan_only = {"calibration": {"probe_s": 0.455}, "queries": {"q": 1.0}}
+    assert maybe_record_baseline(scan_only, str(tmp_path)) == 1
+    assert not path.exists()
+    assert "no stream calibration probe" in capsys.readouterr().err
+    stream_loaded = {
+        "calibration": {"probe_s": 0.455, "stream_probe_s": 1.6},
+        "queries": {"q": 1.0},
+    }
+    assert maybe_record_baseline(stream_loaded, str(tmp_path)) == 1
+    assert not path.exists()
+    assert "stream probe" in capsys.readouterr().err
 
     assert maybe_record_baseline(clean, str(tmp_path)) == 0
     assert json.loads(path.read_text())["calibration"]["probe_s"] == 0.455
@@ -519,3 +538,105 @@ def test_report_carries_reps_overrides(monkeypatch, capsys):
     assert "dedup_minhash_lsh" in out["reps_overrides"]
     assert out["reps_overrides"]["dedup_minhash_lsh"] > 2
     assert "floored per reps_overrides" in out["timing"]
+
+
+def test_clean_probe_reference_file_overrides_constants(tmp_path):
+    """The portable clean-probe path (VERDICT r06 item 4): with no
+    CLEAN_PROBE.json the pinned constants are the reference; a derived
+    recording overrides both pins; a malformed/partial file falls back
+    to the constants instead of crashing the record gate."""
+    from bench import (
+        CLEAN_PROBE_S,
+        CLEAN_STREAM_PROBE_S,
+        _clean_probe_reference,
+    )
+
+    ref = _clean_probe_reference(str(tmp_path))
+    assert ref == {
+        "probe_s": CLEAN_PROBE_S,
+        "stream_probe_s": CLEAN_STREAM_PROBE_S,
+        "derived": False,
+    }
+
+    (tmp_path / "CLEAN_PROBE.json").write_text(
+        json.dumps({"probe_s": 0.9, "stream_probe_s": 2.5})
+    )
+    ref = _clean_probe_reference(str(tmp_path))
+    assert ref == {"probe_s": 0.9, "stream_probe_s": 2.5, "derived": True}
+
+    # Partial (missing stream probe) and malformed files: constants.
+    (tmp_path / "CLEAN_PROBE.json").write_text(json.dumps({"probe_s": 0.9}))
+    assert _clean_probe_reference(str(tmp_path))["derived"] is False
+    (tmp_path / "CLEAN_PROBE.json").write_text("not json")
+    assert _clean_probe_reference(str(tmp_path))["derived"] is False
+
+
+def test_record_gate_judges_against_derived_reference(tmp_path, monkeypatch, capsys):
+    """After a box move, maybe_record_baseline must judge idleness
+    against the DERIVED reference, not the dead box's constants — the
+    whole point of the portability path."""
+    from bench import maybe_record_baseline
+
+    # On the new (slower) box the constants would refuse this probe.
+    (tmp_path / "CLEAN_PROBE.json").write_text(
+        json.dumps({"probe_s": 0.9, "stream_probe_s": 2.5})
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RECORD_BASELINE", "1")
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_FORCE", raising=False)
+    artifact = {
+        "calibration": {"probe_s": 0.92, "stream_probe_s": 2.55},
+        "queries": {"q": 1.0},
+    }
+    assert maybe_record_baseline(artifact, str(tmp_path)) == 0
+    assert (tmp_path / "BENCH_BASELINE.json").exists()
+    # Loaded relative to the derived reference: still refused.
+    (tmp_path / "BENCH_BASELINE.json").unlink()
+    artifact["calibration"]["stream_probe_s"] = 2.9
+    assert maybe_record_baseline(artifact, str(tmp_path)) == 1
+    assert not (tmp_path / "BENCH_BASELINE.json").exists()
+    assert "stream probe" in capsys.readouterr().err
+
+
+def test_derive_clean_probe_refuses_loaded_box(tmp_path, monkeypatch, capsys):
+    """The derivation path carries the original pins' evidence bar: a
+    loaded box is refused BEFORE any Spark work, and nothing is
+    written."""
+    monkeypatch.setattr(bench, "_loadavg", lambda: [25.0, 20.0, 18.0])
+    assert bench.derive_clean_probe(str(tmp_path)) == 1
+    assert not (tmp_path / "CLEAN_PROBE.json").exists()
+    assert "DERIVATION REFUSED" in capsys.readouterr().err
+    # No loadavg facility at all: same refusal (no evidence != idle).
+    monkeypatch.setattr(bench, "_loadavg", lambda: [])
+    assert bench.derive_clean_probe(str(tmp_path)) == 1
+    assert not (tmp_path / "CLEAN_PROBE.json").exists()
+
+
+def test_query_family_fallback_warns_once(monkeypatch, capsys):
+    """ADVICE r06: a registry import failure during family credit must
+    be visible — one stderr warning, and the latch lands in the
+    artifact via report_and_gate."""
+    import builtins
+
+    monkeypatch.setattr(bench, "_FAMILY_REGISTRY_FALLBACK", False)
+    real_import = builtins.__import__
+
+    def broken(name, *a, **k):
+        if "plans.registry" in name:
+            raise ImportError("simulated registry breakage")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", broken)
+    assert bench.query_family("stream_thing") == "stream"
+    assert bench.query_family("batch_thing") == "batch"
+    err = capsys.readouterr().err
+    assert err.count("falling back to name-prefix") == 1  # once, not per call
+    monkeypatch.setattr(builtins, "__import__", real_import)
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.delenv("SPARK_GRAFT_RECORD_BASELINE", raising=False)
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
+    assert bench.report_and_gate({"q": 1.0}, 1.0, 1.0, 0.1, 2) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["calibration"]["family_fallback"] is True

@@ -818,16 +818,28 @@ def test_user_similarity_day_top_dial(spark):
     assert exact[(1, 3)] == pytest.approx(7 / (n1 * n3), abs=1e-6)
     assert exact[(2, 3)] == pytest.approx(3 / (n2 * n3), abs=1e-6)
 
-    # C at/above the busiest day's cardinality → byte-identical rows.
-    wide = {(r.user_a, r.user_b): r.cosine
-            for r in user_activity_similarity(df, day_top=3).collect()}
+    # C at/above the busiest day's cardinality → byte-identical rows,
+    # and the recall guard stays SILENT (nothing was pruned) — as does
+    # the exact day_top=None path (VERDICT r06 item 5).
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        wide = {(r.user_a, r.user_b): r.cosine
+                for r in user_activity_similarity(df, day_top=3).collect()}
+        user_activity_similarity(df)
     assert wide == exact
 
     # C=2 clips day1 to {u1, u2} and day2 stays whole: (2,3) vanishes
     # (their only co-active day dropped u3), (1,3) keeps only the day2
-    # contribution over EXACT norms, (1,2) is untouched.
+    # contribution over EXACT norms, (1,2) is untouched. Pruning is
+    # active → the margin-dependent-recall warning must fire (the
+    # measured curve shows a caller can otherwise get ~0.08 recall
+    # silently believing they bought ~0.9).
+    with pytest.warns(UserWarning, match="busiest day"):
+        capped_df = user_activity_similarity(df, day_top=2)
     capped = {(r.user_a, r.user_b): r.cosine
-              for r in user_activity_similarity(df, day_top=2).collect()}
+              for r in capped_df.collect()}
     assert set(capped) == {(1, 2), (1, 3)}
     assert capped[(1, 2)] == exact[(1, 2)]
     assert capped[(1, 3)] == pytest.approx(2 / (n1 * n3), abs=1e-6)
@@ -851,3 +863,38 @@ def test_cc_width_scales_with_edges():
     assert _cc_width(500_000, 32) == 8
     assert _cc_width(10**9, 32) == 32
     assert _cc_width(10**9, 8) == 8
+
+
+def test_release_managed_since_is_scoped(spark):
+    """ADVICE r06: the streaming calibration probe (and any other
+    mid-flight caller) must be able to free ITS OWN managed resources
+    without sweeping a caller's built-but-unevaluated persist barriers
+    process-wide. release_managed_since(mark) releases exactly the
+    entries registered after the mark; the untouched remainder still
+    belongs to the owner's own release_managed sweep."""
+    from evaluate_human_balance_with_spark_streaming_spark import caching
+
+    # Start from a clean registry so counts are deterministic.
+    caching.release_managed()
+    # Structurally distinct plans: Spark's CacheManager keys on the
+    # CANONICALIZED plan (column aliases normalized away), so two
+    # persists of range(10) under different names would share one
+    # cache entry and the scoped release would drop both.
+    outer = caching.managed_persist(spark.range(10).toDF("a"))
+    fired: list[str] = []
+    caching.on_release(lambda: fired.append("outer"))
+    mark = caching.managed_mark()
+    inner = caching.managed_persist(spark.range(20).toDF("b"))
+    caching.on_release(lambda: fired.append("inner"))
+    outer.count(), inner.count()
+
+    n = caching.release_managed_since(mark)
+    assert n == 1
+    assert fired == ["inner"]  # outer's callback untouched
+    assert inner.storageLevel.useMemory is False  # released
+    assert outer.storageLevel.useMemory is True  # still persisted
+
+    # The owner's own sweep still frees the rest.
+    assert caching.release_managed() == 1
+    assert fired == ["inner", "outer"]
+    assert outer.storageLevel.useMemory is False

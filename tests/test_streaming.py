@@ -555,3 +555,25 @@ def test_replay_session_isolates_conf_from_caller(spark):
     assert out.sparkSession is rs
     assert out.count() == 2
     assert spark.conf.get(key) == before
+
+
+def test_replay_session_cache_keys_on_application_id(spark):
+    """ADVICE r06: the replay-session cache must not key on
+    id(sparkContext) — after a context stop/restart CPython can reuse
+    the old object's id and hand back a session bound to the DEAD
+    context. Keyed on applicationId (minted per context launch),
+    entries from any other context launch are evicted on the next
+    call."""
+    from evaluate_human_balance_with_spark_streaming_spark.streaming import (
+        runner,
+    )
+
+    rs = runner.replay_session(spark)
+    app_id = spark.sparkContext.applicationId
+    assert any(k[0] == app_id for k in runner._REPLAY_SESSIONS)
+    # A cache entry left by a previous (now dead) context launch: the
+    # next call must evict it rather than let the dict grow for the
+    # process's life — and must still return the live cached session.
+    runner._REPLAY_SESSIONS[("local-000-dead-app", 4)] = rs
+    assert runner.replay_session(spark) is rs
+    assert ("local-000-dead-app", 4) not in runner._REPLAY_SESSIONS
