@@ -123,9 +123,29 @@ def main() -> None:
         "unbounded": lambda: stedi.flagship_pipeline(
             _open_wire(rs, cust_path), _open_wire(rs, risk_path)
         ),
-        "watermarked": lambda: stedi.flagship_pipeline_watermarked(
+        # The REGISTERED watermarked form: its 40-day delay makes the
+        # bounded replay oracle-exact, but over a wire spanning ~30
+        # days of event time the watermark therefore never passes any
+        # row's band inside a 3-micro-batch replay — rows_removed
+        # stays 0 HERE while the plan still carries the eviction
+        # machinery. The state bound is real but only engages once
+        # processed event time outruns delay + band.
+        "watermarked_wide": lambda: stedi.flagship_pipeline_watermarked(
             _open_wire(rs, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA),
             _open_wire(rs, risk_path),
+        ),
+        # The PRODUCTION-delay shape: a 1-minute late tolerance. After
+        # the first micro-batch the watermark jumps to (max event time
+        # seen - 1 min), so subsequent batch commits EVICT every state
+        # row whose band has passed — rows_removed goes positive and
+        # final state sits far below total input. Not oracle-exact in
+        # a bounded replay (out-of-band late rows are dropped, which
+        # is the production semantic being demonstrated), so this
+        # variant lives here, not in the registry.
+        "watermarked_tight": lambda: stedi.flagship_pipeline_watermarked(
+            _open_wire(rs, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA),
+            _open_wire(rs, risk_path),
+            watermark="1 minutes",
         ),
     }
     for label, build in variants.items():
@@ -144,10 +164,11 @@ def main() -> None:
             )
         if states:
             final = states[-1]
+            removed = sum(s["rows_removed"] or 0 for s in states)
             print(
                 f"# final state: {final['rows_total']} rows, "
-                f"{(final['mem_bytes'] or 0) / (1024 * 1024):.1f} MiB "
-                f"({'grows with input' if label == 'unbounded' else 'eviction-bounded'})"
+                f"{(final['mem_bytes'] or 0) / (1024 * 1024):.1f} MiB; "
+                f"total evicted: {removed}"
             )
 
 
