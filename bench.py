@@ -132,7 +132,7 @@ CLEAN_STREAM_PROBE_S = 1.337
 # a hardware move used to force SPARK_GRAFT_BASELINE_FORCE. Instead,
 # SPARK_GRAFT_DERIVE_CLEAN_PROBE=1 python bench.py runs ONLY the two
 # probes under the same evidence bar the original pins carried —
-# idle loadavg (force_idleness bar) before AND after, settled series —
+# idle loadavg (force_idleness bar) up front, settled probe series —
 # and writes them plus the evidence to CLEAN_PROBE.json. When that
 # file exists it overrides the constants everywhere the pins are read
 # (_clean_probe_reference), so a new box re-derives its references
@@ -153,7 +153,18 @@ def _clean_probe_reference(here: str | None = None) -> dict:
         try:
             with open(path) as f:
                 d = json.load(f)
-            if d.get("probe_s") and d.get("stream_probe_s"):
+            # Shape-check before use: a valid-JSON-but-wrong-shaped
+            # file (top-level list, non-numeric values) must fall back
+            # to the constants, not crash the record gate at the end
+            # of a full bench run (review finding — TypeError from
+            # float(list) escaped the old OSError/ValueError net).
+            if (
+                isinstance(d, dict)
+                and isinstance(d.get("probe_s"), (int, float))
+                and isinstance(d.get("stream_probe_s"), (int, float))
+                and d["probe_s"] > 0
+                and d["stream_probe_s"] > 0
+            ):
                 return {
                     "probe_s": float(d["probe_s"]),
                     "stream_probe_s": float(d["stream_probe_s"]),
@@ -681,6 +692,30 @@ def _streaming_warmup(spark, sf_dir: str) -> None:
     prematerialize_wires(spark, sf_dir)
 
 
+def _unsettled_series_error(
+    series: list[float], label: str, tail: int = 3, max_ratio: float = 1.15
+) -> str | None:
+    """Why a probe series is NOT settled evidence for a permanent
+    clean-probe reference, or None. The series must END near its
+    minimum: external load arriving mid-derivation inflates the late
+    reps while an early clean minimum survives, so a minimum the last
+    ``tail`` reps never re-approach (within ``max_ratio``) means the
+    recorded value describes a window the box can no longer
+    reproduce. Pure, for the gate tests."""
+    if len(series) < tail + 1:
+        return f"{label} probe series too short ({len(series)} reps) to settle"
+    lo = min(series)
+    tail_lo = min(series[-tail:])
+    if lo > 0 and tail_lo / lo > max_ratio:
+        return (
+            f"{label} probe series did not settle: best rep {lo}s but the "
+            f"last {tail} reps bottom at {tail_lo}s "
+            f"({tail_lo / lo:.2f}x > {max_ratio}) — load arrived "
+            "mid-derivation; rerun on a quiet window"
+        )
+    return None
+
+
 def derive_clean_probe(here: str | None = None) -> int:
     """Re-derive the clean-box probe references on NEW hardware and
     write them to CLEAN_PROBE.json (VERDICT r06 item 4) — the portable
@@ -688,12 +723,16 @@ def derive_clean_probe(here: str | None = None) -> int:
     recording must carry the SAME evidence class the original pins
     did, enforced in code:
 
-    - idle 1-minute loadavg (the FORCE bar: max(1.0, 10% of cpus))
-      both BEFORE the warmups and AFTER the probes — load arriving
-      mid-derivation invalidates the recording;
-    - settled probe series (both probes run at min_reps=5 so the
-      minimum samples the flat tail, not the JIT ramp), with the full
-      series stored in the artifact for audit.
+    - idle 1-minute loadavg BEFORE the warmups (the FORCE bar:
+      max(1.0, 10% of cpus)) — sustained pre-existing load refused
+      up front, matching force_idleness_error's pre-only gate (a
+      post gate would measure the derivation's OWN Spark work and
+      self-refuse every honest run);
+    - settled probe series (both probes run their full max_reps, and
+      _unsettled_series_error refuses a minimum the last reps never
+      re-approach — the signature of load arriving mid-derivation),
+      with the full series and loadavg_post stored in the artifact
+      for audit.
 
     Refusal exits 1 and writes nothing. On the ORIGINAL box this path
     is never needed — the constants are the reference and the repo
@@ -712,17 +751,32 @@ def derive_clean_probe(here: str | None = None) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("ehb-derive-clean-probe")
     # Same warm state the original pins were recorded under: scan +
-    # streaming-machinery JIT before any timed rep.
+    # streaming-machinery JIT before any timed rep. With no baseline
+    # anchor (target_s) the settle heuristic can't declare stability,
+    # so both probes deliberately run their FULL max_reps — more tail
+    # samples behind the recorded minimum, exactly what a permanent
+    # reference wants.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     _streaming_warmup(spark, sf_dir)
-    probe_s, series = calibration_probe(spark, min_reps=5)
-    stream_probe_s, sseries = streaming_calibration_probe(spark, min_reps=5)
+    probe_s, series = calibration_probe(spark)
+    stream_probe_s, sseries = streaming_calibration_probe(spark)
+    # Deliberately NO loadavg_post refusal: the derivation's own
+    # full-width Spark work pushes the 1-minute loadavg far past the
+    # idle bar on any box (review finding — a post gate self-refuses
+    # every honest derivation), which is the same reason
+    # force_idleness_error gates loadavg_pre only. Mid-derivation
+    # EXTERNAL load is instead caught by the settled-tail check: load
+    # arriving partway inflates the late reps, so a minimum that the
+    # tail never re-approaches is refused. Sustained pre-existing
+    # load is the loadavg_pre gate's job. loadavg_post is still
+    # recorded in the artifact for audit.
     la_post = _loadavg()
-    if not la_post or la_post[0] > bar:
+    tail_err = _unsettled_series_error(series, "scan") or _unsettled_series_error(
+        sseries, "stream"
+    )
+    if tail_err:
         print(
-            f"# CLEAN-PROBE DERIVATION REFUSED: loadavg_post "
-            f"{la_post[0] if la_post else 'unavailable'} exceeds "
-            f"{bar:.1f} — load arrived mid-derivation; nothing written",
+            f"# CLEAN-PROBE DERIVATION REFUSED: {tail_err}; nothing written",
             file=sys.stderr,
         )
         return 1

@@ -64,7 +64,13 @@ def main() -> None:
     print(f"{'C':>6} {'pairs':>8} {'recall':>8} {'score==':>8} {'wall_s':>7}")
     for c in cs:
         t0 = time.time()
-        approx = user_activity_similarity(events, day_top=c).localCheckpoint()
+        # warn_below_busiest=False: this sweep KNOWINGLY probes
+        # approximate C values, and the guard's extra stats job would
+        # land inside this timed window, shifting the recorded walls
+        # vs the r06-recorded curve.
+        approx = user_activity_similarity(
+            events, day_top=c, warn_below_busiest=False
+        ).localCheckpoint()
         n_approx = approx.count()
         wall = time.time() - t0
         release_managed()

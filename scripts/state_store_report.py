@@ -47,6 +47,7 @@ from evaluate_human_balance_with_spark_streaming_spark.session import (  # noqa:
     get_spark,
 )
 from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (  # noqa: E402
+    _await_bounded,
     replay_session,
 )
 from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (  # noqa: E402
@@ -73,17 +74,20 @@ def _drain_with_progress(stream_df, output_mode: str, timeout_sec: int = 600):
     )
     try:
         t0 = time.time()
-        if not query.awaitTermination(timeout_sec):
-            query.stop()
-            raise TimeoutError(f"replay did not drain in {timeout_sec}s")
+        _await_bounded(query, timeout_sec, f"state-store replay {name}")
         wall = time.time() - t0
         progress = [json.loads(p.json) for p in query.recentProgress]
         rows = spark.table(name).count()
     finally:
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass
+        # Stop FIRST (harmless on a terminated query): an interrupt or
+        # py4j error mid-await would otherwise leave the query writing
+        # into the checkpoint while rmtree races it — the same hazard
+        # runner.run_to_memory's cleanup guards against.
+        for cleanup in (query.stop, lambda: spark.catalog.dropTempView(name)):
+            try:
+                cleanup()
+            except Exception:
+                pass
         shutil.rmtree(checkpoint, ignore_errors=True)
     return rows, wall, progress
 

@@ -640,3 +640,33 @@ def test_query_family_fallback_warns_once(monkeypatch, capsys):
     assert bench.report_and_gate({"q": 1.0}, 1.0, 1.0, 0.1, 2) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["calibration"]["family_fallback"] is True
+
+
+def test_unsettled_series_error():
+    """The derivation's mid-run-load evidence (review finding: a
+    loadavg_post gate measured the derivation's own Spark work and
+    self-refused every honest run): a series whose tail re-approaches
+    its minimum settles; a clean early minimum the tail never touches
+    again means load arrived mid-derivation."""
+    from bench import _unsettled_series_error
+
+    # Settled: tail bottoms within 15% of the best rep.
+    assert _unsettled_series_error([0.9, 0.5, 0.46, 0.44, 0.45], "scan") is None
+    # Load arrived mid-derivation: early 0.4 minimum, tail stuck ~0.8.
+    err = _unsettled_series_error([0.4, 0.45, 0.80, 0.82, 0.85], "scan")
+    assert err is not None and "did not settle" in err
+    # Too short to be evidence at all.
+    assert _unsettled_series_error([0.4, 0.41], "stream") is not None
+
+
+def test_clean_probe_reference_wrong_shape_falls_back(tmp_path):
+    """Valid JSON with the wrong SHAPE (top-level list, non-numeric
+    values) must fall back to the constants, not crash the record
+    gate at the end of a full bench run (review finding: TypeError
+    escaped the old except net)."""
+    from bench import _clean_probe_reference
+
+    for bad in ("[0.9, 2.5]", '{"probe_s": [1], "stream_probe_s": 2.5}',
+                '{"probe_s": 0, "stream_probe_s": 2.5}'):
+        (tmp_path / "CLEAN_PROBE.json").write_text(bad)
+        assert _clean_probe_reference(str(tmp_path))["derived"] is False
