@@ -693,7 +693,7 @@ def _streaming_warmup(spark, sf_dir: str) -> None:
 
 
 def _unsettled_series_error(
-    series: list[float], label: str, tail: int = 3, max_ratio: float = 1.15
+    series: list[float], label: str, tail: int = 3, max_ratio: float = 1.25
 ) -> str | None:
     """Why a probe series is NOT settled evidence for a permanent
     clean-probe reference, or None. The series must END near its
@@ -701,7 +701,12 @@ def _unsettled_series_error(
     reps while an early clean minimum survives, so a minimum the last
     ``tail`` reps never re-approach (within ``max_ratio``) means the
     recorded value describes a window the box can no longer
-    reproduce. Pure, for the gate tests."""
+    reproduce. The bar is 1.25, not tighter: measured WITHIN-session
+    idle scan-probe variance on this box spans ~1.3× peak-to-trough
+    after settling (JIT/GC jitter — e.g. 0.378-0.486 in the first
+    live derivation), so a tighter bar would self-refuse honest idle
+    runs, while a real load wave inflates reps 2-4× and is still
+    caught. Pure, for the gate tests."""
     if len(series) < tail + 1:
         return f"{label} probe series too short ({len(series)} reps) to settle"
     lo = min(series)
