@@ -86,18 +86,4 @@ def release_managed(blocking: bool = False) -> int:
     """Unpersist every tracked cache (safe on never-materialized or
     already-unpersisted frames) and run registered cleanup callbacks.
     Returns the number of caches released."""
-    n = 0
-    while _MANAGED:
-        df = _MANAGED.pop()
-        try:
-            df.unpersist(blocking)
-            n += 1
-        except Exception:
-            pass
-    while _CALLBACKS:
-        fn = _CALLBACKS.pop()
-        try:
-            fn()
-        except Exception:
-            pass
-    return n
+    return release_managed_since((0, 0), blocking)
