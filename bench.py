@@ -158,10 +158,17 @@ def _clean_probe_reference(here: str | None = None) -> dict:
             # to the constants, not crash the record gate at the end
             # of a full bench run (review finding — TypeError from
             # float(list) escaped the old OSError/ValueError net).
+            def _num(v) -> bool:
+                # bool is an int subclass: a corrupted {"probe_s":
+                # true} would otherwise derive a 1.0s reference
+                # instead of falling back to the constants (ADVICE
+                # r07).
+                return isinstance(v, (int, float)) and not isinstance(v, bool)
+
             if (
                 isinstance(d, dict)
-                and isinstance(d.get("probe_s"), (int, float))
-                and isinstance(d.get("stream_probe_s"), (int, float))
+                and _num(d.get("probe_s"))
+                and _num(d.get("stream_probe_s"))
                 and d["probe_s"] > 0
                 and d["stream_probe_s"] > 0
             ):
@@ -693,7 +700,7 @@ def _streaming_warmup(spark, sf_dir: str) -> None:
 
 
 def _unsettled_series_error(
-    series: list[float], label: str, tail: int = 3, max_ratio: float = 1.25
+    series: list[float], label: str, tail: int = 3, max_ratio: float = 1.3
 ) -> str | None:
     """Why a probe series is NOT settled evidence for a permanent
     clean-probe reference, or None. The series must END near its
@@ -701,12 +708,14 @@ def _unsettled_series_error(
     reps while an early clean minimum survives, so a minimum the last
     ``tail`` reps never re-approach (within ``max_ratio``) means the
     recorded value describes a window the box can no longer
-    reproduce. The bar is 1.25, not tighter: measured WITHIN-session
-    idle scan-probe variance on this box spans ~1.3× peak-to-trough
-    after settling (JIT/GC jitter — e.g. 0.378-0.486 in the first
-    live derivation), so a tighter bar would self-refuse honest idle
-    runs, while a real load wave inflates reps 2-4× and is still
-    caught. Pure, for the gate tests."""
+    reproduce. The bar is 1.3 — the measured WITHIN-session idle
+    scan-probe variance span on this box (~1.3× peak-to-trough after
+    settling, e.g. 0.378-0.486 in the first live derivation), so an
+    honest idle run whose last reps land on the jitter peak is still
+    admitted (ADVICE r07: the earlier 1.25 bar sat BELOW the variance
+    its own comment cited and would have refused exactly that run),
+    while a real load wave inflates reps 2-4× and is still caught.
+    Pure, for the gate tests."""
     if len(series) < tail + 1:
         return f"{label} probe series too short ({len(series)} reps) to settle"
     lo = min(series)
@@ -804,9 +813,94 @@ def derive_clean_probe(here: str | None = None) -> int:
     return 0
 
 
+def idle_wait_budget_s(env: dict | None = None) -> float:
+    """Parse SPARK_GRAFT_WAIT_IDLE (seconds to wait, at most, for the
+    1-minute loadavg to drop under the idleness bar before the timed
+    suite). 0 when unset, non-numeric, or non-positive — the wait is
+    strictly opt-in. Pure, for the gate tests."""
+    env = os.environ if env is None else env
+    raw = env.get("SPARK_GRAFT_WAIT_IDLE", "")
+    try:
+        budget = float(raw)
+    except (TypeError, ValueError):
+        return 0.0
+    return budget if budget > 0 else 0.0
+
+
+def wait_for_idle(
+    budget_s: float,
+    poll_s: float = 5.0,
+    cpus: int | None = None,
+    loadavg_fn=None,
+    sleep_fn=None,
+) -> dict:
+    """Optionally wait out a load wave before the timed suite (VERDICT
+    r07 item 2): two rounds running, the driver's bench artifact landed
+    on loaded windows (loadavg 3.57, then 6.55 — this box's external
+    load arrives in ~20-minute waves) while builder-invoked idle runs
+    told the true story; the idleness machinery only protected runs
+    whose INVOKER checked /proc/loadavg first. With
+    ``SPARK_GRAFT_WAIT_IDLE=<seconds>`` set, main() polls the 1-minute
+    loadavg until it sits under the FORCE idleness bar
+    (max(1.0, 10% of cpus) — the same threshold force_idleness_error
+    holds baseline re-records to) or the budget expires, then proceeds
+    EITHER WAY: the wait improves the window when it can and documents
+    the refusal when it cannot, so a bounded driver timeout is never
+    risked. Returns the evidence dict recorded under
+    ``load.idle_wait`` in the artifact:
+
+      {"requested_s", "waited_s", "polls", "bar",
+       "loadavg_first", "loadavg_last", "satisfied"}
+
+    Injectable clock/loadavg for Spark-free gate tests."""
+    loadavg_fn = loadavg_fn or _loadavg
+    sleep_fn = sleep_fn or time.sleep
+    cpus = cpus or os.cpu_count() or 8
+    bar = max(1.0, FORCE_MAX_LOADAVG_FRAC * cpus)
+    la = loadavg_fn()
+    first = la[0] if la else None
+    out = {
+        "requested_s": budget_s,
+        "waited_s": 0.0,
+        "polls": 1,
+        "bar": bar,
+        "loadavg_first": first,
+        "loadavg_last": first,
+        "satisfied": bool(la) and la[0] <= bar,
+    }
+    if out["satisfied"] or not la or budget_s <= 0:
+        return out
+    print(
+        f"# WAIT_IDLE: loadavg {la[0]:.2f} > bar {bar:.1f}; polling up "
+        f"to {budget_s:.0f}s for the wave to pass",
+        file=sys.stderr,
+    )
+    waited = 0.0
+    while waited < budget_s:
+        step = min(poll_s, budget_s - waited)
+        sleep_fn(step)
+        waited += step
+        la = loadavg_fn()
+        out["polls"] += 1
+        out["loadavg_last"] = la[0] if la else None
+        if la and la[0] <= bar:
+            out["satisfied"] = True
+            break
+    out["waited_s"] = round(waited, 1)
+    if not out["satisfied"]:
+        print(
+            f"# WAIT_IDLE REFUSED: loadavg still {out['loadavg_last']} "
+            f"after {waited:.0f}s — proceeding anyway; the artifact's "
+            "probes will document the load",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> int:
     if os.environ.get("SPARK_GRAFT_DERIVE_CLEAN_PROBE"):
         return derive_clean_probe()
+    idle_wait = wait_for_idle(idle_wait_budget_s())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -983,6 +1077,7 @@ def main() -> int:
         "loadavg_pre": load_pre,
         "loadavg_post": _loadavg(),
         "cpus": os.cpu_count(),
+        "idle_wait": idle_wait,
     }
     return report_and_gate(
         timings,

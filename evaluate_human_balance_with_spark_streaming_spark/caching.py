@@ -48,37 +48,58 @@ def on_release(fn) -> None:
     _CALLBACKS.append(fn)
 
 
-def managed_mark() -> tuple[int, int]:
-    """Snapshot of the managed-resource registries, for a SCOPED
-    release: a caller that registers resources mid-flight (e.g. the
-    bench's streaming calibration probe, which runs between a built
-    suite's queries) can free only what IT registered with
+def managed_mark() -> tuple[list, list]:
+    """Identity snapshot of the managed-resource registries, for a
+    SCOPED release: a caller that registers resources mid-flight (e.g.
+    the bench's streaming calibration probe, which runs between a
+    built suite's queries) can free only what IT registered with
     ``release_managed_since(mark)`` instead of sweeping every pending
     barrier process-wide — the silent-recompute trap ADVICE r06
-    flagged for any caller with built-but-unevaluated plans pending."""
-    return (len(_MANAGED), len(_CALLBACKS))
+    flagged for any caller with built-but-unevaluated plans pending.
+
+    The snapshot holds the entries themselves, not registry lengths
+    (ADVICE r07): a length-based mark assumed strict LIFO discipline,
+    so a full ``release_managed`` between mark and scoped release made
+    the mark stale — the scoped caller's own entries silently escaped
+    release, and a later registrant could be swept by the marker. With
+    an identity snapshot a stale mark degrades safely: exactly the
+    entries NOT in the snapshot are released, wherever they sit. An
+    entry registered both before and after the mark is treated as
+    pre-mark (left for its owner — the safe direction)."""
+    return (list(_MANAGED), list(_CALLBACKS))
 
 
-def release_managed_since(mark: tuple[int, int], blocking: bool = False) -> int:
-    """Release only the caches/callbacks registered AFTER ``mark``
-    (see ``managed_mark``). Entries below the mark are left untouched
-    for the owning queries' own release_managed sweep. Returns the
-    number of caches released."""
-    lo_m, lo_c = mark
+def release_managed_since(mark: tuple[list, list], blocking: bool = False) -> int:
+    """Release only the caches/callbacks NOT present (by identity) in
+    the ``managed_mark`` snapshot — i.e. those registered after it.
+    Snapshot entries are left untouched, in order, for the owning
+    queries' own release_managed sweep. Returns the number of caches
+    released."""
+    snap_m, snap_c = mark
     n = 0
-    while len(_MANAGED) > lo_m:
+    keep: list = []
+    while _MANAGED:
         df = _MANAGED.pop()
+        if any(df is s for s in snap_m):
+            keep.append(df)
+            continue
         try:
             df.unpersist(blocking)
             n += 1
         except Exception:
             pass
-    while len(_CALLBACKS) > lo_c:
+    _MANAGED.extend(reversed(keep))
+    keep_c: list = []
+    while _CALLBACKS:
         fn = _CALLBACKS.pop()
+        if any(fn is s for s in snap_c):
+            keep_c.append(fn)
+            continue
         try:
             fn()
         except Exception:
             pass
+    _CALLBACKS.extend(reversed(keep_c))
     return n
 
 
@@ -86,4 +107,4 @@ def release_managed(blocking: bool = False) -> int:
     """Unpersist every tracked cache (safe on never-materialized or
     already-unpersisted frames) and run registered cleanup callbacks.
     Returns the number of caches released."""
-    return release_managed_since((0, 0), blocking)
+    return release_managed_since(([], []), blocking)

@@ -670,3 +670,123 @@ def test_clean_probe_reference_wrong_shape_falls_back(tmp_path):
                 '{"probe_s": 0, "stream_probe_s": 2.5}'):
         (tmp_path / "CLEAN_PROBE.json").write_text(bad)
         assert _clean_probe_reference(str(tmp_path))["derived"] is False
+
+
+def test_clean_probe_reference_bool_falls_back(tmp_path):
+    """ADVICE r07: bool is an int subclass, so a corrupted
+    {"probe_s": true} passed the old isinstance numeric check and
+    derived a 1.0s reference. Booleans must fall back to the
+    constants like any other wrong shape."""
+    from bench import _clean_probe_reference
+
+    (tmp_path / "CLEAN_PROBE.json").write_text(
+        '{"probe_s": true, "stream_probe_s": 2.5}'
+    )
+    ref = _clean_probe_reference(str(tmp_path))
+    assert ref["derived"] is False
+    assert ref["probe_s"] != 1.0
+
+
+def test_unsettled_series_bar_admits_measured_idle_variance():
+    """ADVICE r07: the 1.25 bar sat BELOW the measured ~1.3x
+    within-session idle jitter its own comment cited — an honest
+    derivation whose global minimum lands early and whose tail bottom
+    sits on the documented variance peak (0.378 -> 0.486 ~= 1.286x)
+    was refused. The bar now matches the measured span."""
+    from bench import _unsettled_series_error
+
+    # The exact measured-idle shape the old bar refused: early clean
+    # minimum, settled tail on the jitter peak (1.29x).
+    assert (
+        _unsettled_series_error([0.378, 0.45, 0.47, 0.486, 0.486], "scan")
+        is None
+    )
+    # A real load wave (2x+) is still refused.
+    assert (
+        _unsettled_series_error([0.378, 0.40, 0.80, 0.85, 0.82], "scan")
+        is not None
+    )
+
+
+def test_idle_wait_budget_parsing():
+    """SPARK_GRAFT_WAIT_IDLE is strictly opt-in: unset, junk, and
+    non-positive values all mean 'do not wait'."""
+    from bench import idle_wait_budget_s
+
+    assert idle_wait_budget_s({}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "banana"}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "-5"}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "0"}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "600"}) == 600.0
+
+
+def test_wait_for_idle_already_idle_returns_immediately():
+    """An idle box (1-min loadavg under the FORCE bar) must not sleep
+    at all — the wait is for load waves, not a fixed delay."""
+    from bench import wait_for_idle
+
+    slept: list[float] = []
+    out = wait_for_idle(
+        600.0,
+        cpus=32,
+        loadavg_fn=lambda: [0.45, 0.7, 1.7],
+        sleep_fn=slept.append,
+    )
+    assert out["satisfied"] is True
+    assert out["waited_s"] == 0.0 and slept == []
+    assert out["bar"] == pytest.approx(3.2)
+
+
+def test_wait_for_idle_waits_out_a_load_wave():
+    """The r07 driver artifact's loadavg-6.55 window: the wait polls
+    until the wave passes, then releases the suite with the improved
+    window recorded."""
+    from bench import wait_for_idle
+
+    series = [[6.55, 5.0, 4.0], [5.2, 5.0, 4.1], [2.9, 4.2, 4.0]]
+    calls = {"n": 0}
+
+    def fake_loadavg():
+        la = series[min(calls["n"], len(series) - 1)]
+        calls["n"] += 1
+        return la
+
+    slept: list[float] = []
+    out = wait_for_idle(
+        600.0, poll_s=5.0, cpus=32, loadavg_fn=fake_loadavg,
+        sleep_fn=slept.append,
+    )
+    assert out["satisfied"] is True
+    assert out["loadavg_first"] == 6.55 and out["loadavg_last"] == 2.9
+    assert out["polls"] == 3 and slept == [5.0, 5.0]
+    assert out["waited_s"] == 10.0
+
+
+def test_wait_for_idle_refusal_is_bounded_and_documented(capsys):
+    """A wave that outlasts the budget must NOT block the driver:
+    the wait gives up at the budget, logs the refusal, and the
+    artifact records satisfied=False for the judge."""
+    from bench import wait_for_idle
+
+    slept: list[float] = []
+    out = wait_for_idle(
+        12.0, poll_s=5.0, cpus=32, loadavg_fn=lambda: [8.0, 7.0, 6.0],
+        sleep_fn=slept.append,
+    )
+    assert out["satisfied"] is False
+    assert out["waited_s"] == pytest.approx(12.0)
+    assert slept == [5.0, 5.0, 2.0]  # bounded: never sleeps past budget
+    assert "WAIT_IDLE REFUSED" in capsys.readouterr().err
+
+
+def test_wait_for_idle_zero_budget_never_sleeps():
+    """With the env unset (budget 0) a loaded box proceeds straight to
+    the suite — existing driver behavior is unchanged by default."""
+    from bench import wait_for_idle
+
+    slept: list[float] = []
+    out = wait_for_idle(
+        0.0, cpus=32, loadavg_fn=lambda: [8.0, 7.0, 6.0],
+        sleep_fn=slept.append,
+    )
+    assert out["satisfied"] is False and slept == []

@@ -898,3 +898,33 @@ def test_release_managed_since_is_scoped(spark):
     assert caching.release_managed() == 1
     assert fired == ["inner", "outer"]
     assert outer.storageLevel.useMemory is False
+
+
+def test_release_managed_since_stale_mark_degrades_safely(spark):
+    """ADVICE r07: a length-based mark assumed strict LIFO discipline —
+    a full release_managed between mark and scoped release made the
+    mark stale, and the scoped caller's own entries silently escaped
+    release (leaked memory-sink views / checkpoint dirs). With the
+    identity snapshot, a stale mark degrades safely: exactly the
+    entries not in the snapshot are released, wherever they sit."""
+    from evaluate_human_balance_with_spark_streaming_spark import caching
+
+    caching.release_managed()
+    outer = caching.managed_persist(spark.range(30).toDF("c"))
+    mark = caching.managed_mark()
+    # Another code path sweeps EVERYTHING below the mark — the exact
+    # interleaving the length-based mark could not survive.
+    caching.release_managed()
+    assert outer.storageLevel.useMemory is False
+    fired: list[str] = []
+    inner = caching.managed_persist(spark.range(40).toDF("d"))
+    caching.on_release(lambda: fired.append("inner"))
+    inner.count()
+
+    # Length-based: len(_MANAGED)==1 == stale mark's 1 -> inner leaks.
+    # Identity-based: inner is not in the snapshot -> released.
+    n = caching.release_managed_since(mark)
+    assert n == 1
+    assert fired == ["inner"]
+    assert inner.storageLevel.useMemory is False
+    assert caching.release_managed() == 0  # registry actually empty
