@@ -14,6 +14,7 @@ reference sparkpykafkajoin.py:218-221).
 
 from __future__ import annotations
 
+import json
 import shutil
 import tempfile
 import uuid
@@ -110,12 +111,20 @@ def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drain a bounded streaming DataFrame into a memory sink and return
     the materialized result. availableNow processes everything the
     source has, in bounded micro-batches, then stops — the broker-free
     way to run a full replay (same semantics as the reference's
     startingOffsets=earliest).
+
+    ``progress_out``, when given, receives the per-micro-batch
+    StreamingQueryProgress dicts after the drain — the
+    ``stateOperators`` telemetry (rows kept/evicted, state memory)
+    lives there and ONLY there, and the query handle this helper hides
+    is the only place to read it (the eviction-machinery test and
+    scripts/state_store_report.py both consume this feed).
 
     Runs under whatever session ``stream_df`` was built on (the query
     captures that session's conf at start, and the memory sink registers
@@ -167,6 +176,11 @@ def run_to_memory(
                 pass
         shutil.rmtree(checkpoint, ignore_errors=True)
         raise
+    if progress_out is not None:
+        # The availableNow query has terminated; its handle still
+        # serves recentProgress (bounded replays run far fewer
+        # micro-batches than the 100-entry retention default).
+        progress_out.extend(json.loads(p.json) for p in query.recentProgress)
     # The memory sink pins the full result in the driver until dropped;
     # release it (and the throwaway checkpoint dir) with the same
     # deferred lifecycle as the persist barriers: after the consuming

@@ -577,3 +577,56 @@ def test_replay_session_cache_keys_on_application_id(spark):
     runner._REPLAY_SESSIONS[("local-000-dead-app", 4)] = rs
     assert runner.replay_session(spark) is rs
     assert ("local-000-dead-app", 4) not in runner._REPLAY_SESSIONS
+
+
+def test_watermarked_flagship_tight_delay_actually_evicts_state(spark, sf_dir):
+    """VERDICT r07 item 3: the REGISTERED watermarked flagship (40-day
+    delay) proves plan shape only — over a wire spanning ~30 days of
+    event time its watermark never passes any row's band inside a
+    bounded replay, so a regression in state EVICTION would surface
+    nowhere. This pins the machinery: under a production-tight 1-minute
+    delay the same plan must (a) report numRowsRemoved > 0 in the join's
+    stateOperators telemetry mid-replay, and (b) still emit EXACTLY the
+    in-band subset — the same band join run as a batch plan over the
+    same wire files (measured here: 2 micro-batches, 526 state rows
+    evicted, 755 output rows, zero lost to eviction — the replay
+    delivers every in-band match before its partner's state leaves the
+    store)."""
+    from evaluate_human_balance_with_spark_streaming_spark.streaming import (
+        stream_queries as sq,
+    )
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        replay_session,
+    )
+
+    rs = replay_session(spark)
+    cust_path = sq._cust_ts_wire(spark, sf_dir)
+    risk_path = sq._risk_wire(spark, sf_dir)
+    tight = stedi.flagship_pipeline_watermarked(
+        sq._open_wire(rs, cust_path, sq._WIRE_TS_SCHEMA),
+        sq._open_wire(rs, risk_path),
+        watermark="1 minutes",
+    )
+    progress: list[dict] = []
+    got = {
+        tuple(r) for r in run_to_memory(tight, progress_out=progress).collect()
+    }
+
+    removed = sum(
+        op.get("numRowsRemoved") or 0
+        for p in progress
+        for op in (p.get("stateOperators") or [])
+    )
+    assert len(progress) >= 2  # a real multi-batch replay, not one gulp
+    assert removed > 0  # rows actually left the state store
+
+    # The in-band truth: the SAME pipeline builder on batch frames
+    # (no watermarks on batch inputs) is a plain band join — the
+    # output eviction must never change.
+    cust_b = rs.read.schema(sq._WIRE_TS_SCHEMA).parquet(cust_path)
+    risk_b = rs.read.schema(sq._WIRE_SCHEMA).parquet(risk_path)
+    expected = {
+        tuple(r)
+        for r in stedi.flagship_pipeline_watermarked(cust_b, risk_b).collect()
+    }
+    assert got == expected
