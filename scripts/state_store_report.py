@@ -20,10 +20,19 @@ Same session discipline as the bench (conf-isolated replay_session,
 BENCH/SCALING rows.
 
 Usage:
-    python scripts/state_store_report.py [sf_dir] [K]
+    python scripts/state_store_report.py [sf_dir] [K] [files_per_trigger] [wire_files]
     SPARK_GRAFT_STATE_STORE=rocksdb python scripts/state_store_report.py
+    SSR_VARIANTS=unbounded python scripts/state_store_report.py ... 8 16
 
-Defaults: /root/testdata/sf0.1, K=10. Feeds SCALING.md r07.
+Defaults: /root/testdata/sf0.1, K=10, 2 files/trigger over 4-file
+wires (the bench-identical shape — feeds SCALING.md r07). The two
+extra knobs exist for the micro-batch-size sweep (VERDICT r07 item 4):
+RocksDB's ~2× wall at the default shape is per-batch store
+open/commit/snapshot cost, so the SAME rows replayed in fewer, larger
+micro-batches (e.g. 16-file wires at 2/trigger = 8 batches vs
+8/trigger = 2 batches) should shrink the RocksDB:HDFS wall ratio —
+measured numbers in SCALING.md r08. SSR_VARIANTS (comma list) limits
+the run to named variants so the sweep doesn't pay for all three.
 """
 
 from __future__ import annotations
@@ -53,7 +62,6 @@ from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
 from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (  # noqa: E402
     _WIRE_TS_SCHEMA,
     _cust_ts_wire,
-    _open_wire,
 )
 
 
@@ -113,19 +121,87 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     k = int(args[1]) if len(args) > 1 else 10
+    fpt = int(args[2]) if len(args) > 2 else 2
+    wire_files = int(args[3]) if len(args) > 3 else 4
     provider = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() or "hdfs"
+    only = {
+        v.strip()
+        for v in os.environ.get("SSR_VARIANTS", "").split(",")
+        if v.strip()
+    }
 
     spark = get_spark("state-store-report")
     effective = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-    print(f"# provider={provider} ({effective.rsplit('.', 1)[-1]}), K={k}, {sf_dir}")
+    print(
+        f"# provider={provider} ({effective.rsplit('.', 1)[-1]}), K={k}, "
+        f"{sf_dir}, {fpt} files/trigger over {wire_files}-file wires"
+    )
 
-    prepare_stream_flagship(spark, sf_dir, k)
-    cust_path, risk_path = _flagship_wires(spark, sf_dir, k)
+    if wire_files == 4:
+        # The bench-identical wires (shared tags/cache with the
+        # registered queries' own builders).
+        prepare_stream_flagship(spark, sf_dir, k)
+        cust_path, risk_path = _flagship_wires(spark, sf_dir, k)
+    else:
+        # The micro-batch sweep needs the SAME rows in a different
+        # file layout; private tags so the bench wires never collide.
+        from stress_scale import replicated
+
+        from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+            stedi_customers_wire,
+            stedi_risk_wire,
+        )
+        from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
+            _materialize,
+        )
+
+        cust_path = _materialize(
+            stedi_customers_wire(spark, sf_dir),
+            f"ssr-cust-f{wire_files}@{sf_dir}",
+            wire_files,
+        )
+        risk_path = _materialize(
+            replicated(stedi_risk_wire(spark, sf_dir), k),
+            f"ssr-risk-x{k}-f{wire_files}@{sf_dir}",
+            wire_files,
+        )
     rs = replay_session(spark)
+
+    def _cust_ts_path() -> str:
+        """The ts-carrying customer wire, honoring wire_files (lazy:
+        only the watermarked variants pay for it)."""
+        if wire_files == 4:
+            return _cust_ts_wire(spark, sf_dir)
+        from evaluate_human_balance_with_spark_streaming_spark.sources.testdata import (
+            stedi_customers_wire_ts,
+        )
+        from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
+            _materialize,
+        )
+
+        return _materialize(
+            stedi_customers_wire_ts(spark, sf_dir),
+            f"ssr-cust-ts-f{wire_files}@{sf_dir}",
+            wire_files,
+        )
+
+    def _open(path, schema=None):
+        # _open_wire pins the bench-identical 2 files/trigger; the
+        # sweep varies it, so open directly at the requested rate.
+        from evaluate_human_balance_with_spark_streaming_spark.sources.files import (
+            stream_parquet_dir,
+        )
+        from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (
+            _WIRE_SCHEMA,
+        )
+
+        return stream_parquet_dir(
+            rs, path, schema or _WIRE_SCHEMA, max_files_per_trigger=fpt
+        )
 
     variants = {
         "unbounded": lambda: stedi.flagship_pipeline(
-            _open_wire(rs, cust_path), _open_wire(rs, risk_path)
+            _open(cust_path), _open(risk_path)
         ),
         # The REGISTERED watermarked form: its 40-day delay makes the
         # bounded replay oracle-exact, but over a wire spanning ~30
@@ -135,8 +211,8 @@ def main() -> None:
         # machinery. The state bound is real but only engages once
         # processed event time outruns delay + band.
         "watermarked_wide": lambda: stedi.flagship_pipeline_watermarked(
-            _open_wire(rs, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA),
-            _open_wire(rs, risk_path),
+            _open(_cust_ts_path(), _WIRE_TS_SCHEMA),
+            _open(risk_path),
         ),
         # The PRODUCTION-delay shape: a 1-minute late tolerance. After
         # the first micro-batch the watermark jumps to (max event time
@@ -147,12 +223,14 @@ def main() -> None:
         # is the production semantic being demonstrated), so this
         # variant lives here, not in the registry.
         "watermarked_tight": lambda: stedi.flagship_pipeline_watermarked(
-            _open_wire(rs, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA),
-            _open_wire(rs, risk_path),
+            _open(_cust_ts_path(), _WIRE_TS_SCHEMA),
+            _open(risk_path),
             watermark="1 minutes",
         ),
     }
     for label, build in variants.items():
+        if only and label not in only:
+            continue
         rows, wall, progress = _drain_with_progress(build(), "append")
         states = _state_rows(progress)
         print(f"\n## {label}: {rows} output rows, {wall:.1f}s wall")

@@ -790,3 +790,44 @@ def test_wait_for_idle_zero_budget_never_sleeps():
         sleep_fn=slept.append,
     )
     assert out["satisfied"] is False and slept == []
+
+
+def test_artifact_surfaces_clean_probe_reference(tmp_path, monkeypatch, capsys):
+    """VERDICT r07 item 5: the clean-probe reference the record gate
+    judges against must be visible in every artifact (calibration.
+    clean_probe with a derived flag), not only at recording time."""
+    import bench as b
+
+    monkeypatch.setattr(
+        b, "_baseline_timings", lambda here=None: {"q": 1.0}
+    )
+    monkeypatch.setattr(b, "_baseline_probe", lambda here=None: 0.4)
+    monkeypatch.setattr(b, "_baseline_stream_probe", lambda here=None: 1.3)
+    # Constants in force (no CLEAN_PROBE.json next to bench.py).
+    monkeypatch.setattr(
+        b,
+        "_clean_probe_reference",
+        lambda here=None: {"probe_s": 0.335, "stream_probe_s": 1.337,
+                           "derived": False},
+    )
+    b.report_and_gate(
+        {"q": 1.0}, 1.0, 1.0, 0.01, 1,
+        {"probe_s": 0.4, "stream_probe_s": 1.3}, {},
+    )
+    art = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cp = art["calibration"]["clean_probe"]
+    assert cp == {"probe_s": 0.335, "stream_probe_s": 1.337, "derived": False}
+
+    # A derived reference flips the flag and carries its values.
+    monkeypatch.setattr(
+        b,
+        "_clean_probe_reference",
+        lambda here=None: {"probe_s": 0.412, "stream_probe_s": 1.931,
+                           "derived": True},
+    )
+    b.report_and_gate(
+        {"q": 1.0}, 1.0, 1.0, 0.01, 1,
+        {"probe_s": 0.4, "stream_probe_s": 1.3}, {},
+    )
+    art = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert art["calibration"]["clean_probe"]["derived"] is True
