@@ -14,6 +14,7 @@ headline set is the headline metric.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -824,7 +825,15 @@ def idle_wait_budget_s(env: dict | None = None) -> float:
         budget = float(raw)
     except (TypeError, ValueError):
         return 0.0
-    return budget if budget > 0 else 0.0
+    # float() accepts 'inf'/'1e400' (review finding): an infinite
+    # budget would make wait_for_idle's `while waited < budget_s` loop
+    # forever on a loaded box — the exact driver-timeout hang the wait
+    # exists to avoid. NaN compares false everywhere and falls through
+    # to 0. Cap at one hour: longer than any measured load wave on
+    # this box (~20 min), still bounded.
+    if not math.isfinite(budget) or budget <= 0:
+        return 0.0
+    return min(budget, 3600.0)
 
 
 def wait_for_idle(
@@ -1214,6 +1223,13 @@ def maybe_record_baseline(artifact: dict, here: str | None = None) -> int:
             print(f"# BASELINE REFUSED even under FORCE: {ferr}", file=sys.stderr)
             return 1
         print(f"# BASELINE FORCED despite: {err}", file=sys.stderr)
+    # The artifact's calibration.clean_probe was stamped by
+    # report_and_gate from bench.py's OWN directory; with a custom
+    # ``here`` this gate may have judged against a different reference
+    # (review finding). The RECORDED baseline must carry the reference
+    # actually enforced, or its audit trail lies.
+    cal["clean_probe"] = dict(ref)
+    artifact["calibration"] = cal
     with open(path, "w") as f:
         json.dump(artifact, f)
         f.write("\n")

@@ -75,31 +75,35 @@ def release_managed_since(mark: tuple[list, list], blocking: bool = False) -> in
     Snapshot entries are left untouched, in order, for the owning
     queries' own release_managed sweep. Returns the number of caches
     released."""
+    # Release FIRST, then drop the released entries from the registry
+    # in one slice assignment (review finding): a pop-then-re-extend
+    # shape would lose every already-popped keeper if a BaseException
+    # (Ctrl-C in a blocked py4j call) escaped mid-loop — pre-mark
+    # persist barriers would vanish from tracking and pin executor
+    # memory for the session's life. With this ordering an interrupt
+    # leaves the registry intact: already-released entries are still
+    # listed (re-releasing is harmless — unpersist is safe on
+    # unpersisted frames, and the cleanup callbacks swallow their own
+    # double-run errors), and nothing is ever untracked unreleased.
     snap_m, snap_c = mark
     n = 0
-    keep: list = []
-    while _MANAGED:
-        df = _MANAGED.pop()
+    for df in reversed(list(_MANAGED)):  # LIFO, like release order always was
         if any(df is s for s in snap_m):
-            keep.append(df)
             continue
         try:
             df.unpersist(blocking)
             n += 1
         except Exception:
             pass
-    _MANAGED.extend(reversed(keep))
-    keep_c: list = []
-    while _CALLBACKS:
-        fn = _CALLBACKS.pop()
+    _MANAGED[:] = [df for df in _MANAGED if any(df is s for s in snap_m)]
+    for fn in reversed(list(_CALLBACKS)):
         if any(fn is s for s in snap_c):
-            keep_c.append(fn)
             continue
         try:
             fn()
         except Exception:
             pass
-    _CALLBACKS.extend(reversed(keep_c))
+    _CALLBACKS[:] = [fn for fn in _CALLBACKS if any(fn is s for s in snap_c)]
     return n
 
 

@@ -12,12 +12,13 @@ selected by SPARK_GRAFT_STATE_STORE before launch — it is builder-time
 conf, session.py:109-122) changes the cost/capacity point, not the
 semantics.
 
-The replay deliberately bypasses run_to_memory: that helper drops the
-StreamingQuery handle, and ``recentProgress`` — the per-micro-batch
-stateOperators feed this script exists to read — lives on the handle.
+The per-micro-batch ``stateOperators`` feed comes from
+``run_to_memory(progress_out=...)`` (runner.py grew the hook in r08 —
+before that this script carried its own drain because the helper
+dropped the StreamingQuery handle that ``recentProgress`` lives on).
 Same session discipline as the bench (conf-isolated replay_session,
-2-files-per-trigger wire), so the numbers are like-for-like with
-BENCH/SCALING rows.
+2-files-per-trigger wire by default), so the numbers are
+like-for-like with BENCH/SCALING rows.
 
 Usage:
     python scripts/state_store_report.py [sf_dir] [K] [files_per_trigger] [wire_files]
@@ -39,11 +40,8 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
-import tempfile
 import time
-import uuid
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
@@ -55,9 +53,13 @@ from evaluate_human_balance_with_spark_streaming_spark.plans import stedi  # noq
 from evaluate_human_balance_with_spark_streaming_spark.session import (  # noqa: E402
     get_spark,
 )
+from evaluate_human_balance_with_spark_streaming_spark.caching import (  # noqa: E402
+    managed_mark,
+    release_managed_since,
+)
 from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (  # noqa: E402
-    _await_bounded,
     replay_session,
+    run_to_memory,
 )
 from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries import (  # noqa: E402
     _WIRE_TS_SCHEMA,
@@ -66,37 +68,21 @@ from evaluate_human_balance_with_spark_streaming_spark.streaming.stream_queries 
 
 
 def _drain_with_progress(stream_df, output_mode: str, timeout_sec: int = 600):
-    """availableNow drain into a throwaway memory sink, KEEPING the
-    query handle long enough to harvest recentProgress (the one thing
-    runner.run_to_memory cannot give us)."""
-    spark = stream_df.sparkSession
-    name = f"ssr_{uuid.uuid4().hex[:12]}"
-    checkpoint = tempfile.mkdtemp(prefix="ehb-ssr-ckpt-")
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    """availableNow drain via run_to_memory's ``progress_out`` hook
+    (one drain implementation — sink naming, checkpoint cleanup and
+    stop ordering live in runner.py, not in a second copy here).
+    Scoped release: the report runs several variants in one process,
+    so each drain frees ITS memory-sink view + checkpoint before the
+    next variant starts counting state."""
+    mark = managed_mark()
+    progress: list[dict] = []
+    t0 = time.time()
+    out = run_to_memory(
+        stream_df, output_mode, timeout_sec, progress_out=progress
     )
-    try:
-        t0 = time.time()
-        _await_bounded(query, timeout_sec, f"state-store replay {name}")
-        wall = time.time() - t0
-        progress = [json.loads(p.json) for p in query.recentProgress]
-        rows = spark.table(name).count()
-    finally:
-        # Stop FIRST (harmless on a terminated query): an interrupt or
-        # py4j error mid-await would otherwise leave the query writing
-        # into the checkpoint while rmtree races it — the same hazard
-        # runner.run_to_memory's cleanup guards against.
-        for cleanup in (query.stop, lambda: spark.catalog.dropTempView(name)):
-            try:
-                cleanup()
-            except Exception:
-                pass
-        shutil.rmtree(checkpoint, ignore_errors=True)
+    wall = time.time() - t0
+    rows = out.count()
+    release_managed_since(mark)
     return rows, wall, progress
 
 
@@ -228,6 +214,14 @@ def main() -> None:
             watermark="1 minutes",
         ),
     }
+    unknown = only - variants.keys()
+    if unknown:
+        # A typo'd filter must not "succeed" having measured nothing
+        # (review finding): fail fast with the valid names.
+        sys.exit(
+            f"# unknown SSR_VARIANTS {sorted(unknown)}; "
+            f"known: {sorted(variants)}"
+        )
     for label, build in variants.items():
         if only and label not in only:
             continue

@@ -696,10 +696,14 @@ def test_unsettled_series_bar_admits_measured_idle_variance():
     from bench import _unsettled_series_error
 
     # The exact measured-idle shape the old bar refused: early clean
-    # minimum, settled tail on the jitter peak (1.29x).
-    assert (
-        _unsettled_series_error([0.378, 0.45, 0.47, 0.486, 0.486], "scan")
-        is None
+    # minimum 0.378, every tail rep on the jitter peak 0.486
+    # (tail_lo/lo = 1.286 — between the two bars, so this series
+    # DISCRIMINATES them; a tail that dips below 1.25x of the minimum
+    # would pass either bar and pin nothing).
+    peak_tail = [0.378, 0.45, 0.486, 0.486, 0.486]
+    assert _unsettled_series_error(peak_tail, "scan") is None
+    assert (  # the old bar really did refuse it — the regression guard
+        _unsettled_series_error(peak_tail, "scan", max_ratio=1.25) is not None
     )
     # A real load wave (2x+) is still refused.
     assert (
@@ -718,6 +722,14 @@ def test_idle_wait_budget_parsing():
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "-5"}) == 0.0
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "0"}) == 0.0
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "600"}) == 600.0
+    # float() accepts 'inf'/'1e400'/'nan' (review finding): an
+    # infinite budget would make wait_for_idle loop forever on a
+    # loaded box — the never-block guarantee must hold; and any
+    # finite budget is capped at one hour.
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "inf"}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "1e400"}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "nan"}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "7200"}) == 3600.0
 
 
 def test_wait_for_idle_already_idle_returns_immediately():
@@ -831,3 +843,29 @@ def test_artifact_surfaces_clean_probe_reference(tmp_path, monkeypatch, capsys):
     )
     art = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert art["calibration"]["clean_probe"]["derived"] is True
+
+
+def test_recorded_baseline_carries_the_enforced_clean_probe(tmp_path, monkeypatch):
+    """Review finding: with a custom ``here`` the record gate can judge
+    against a different CLEAN_PROBE.json than the one report_and_gate
+    stamped into the artifact (bench.py's own dir). The RECORDED
+    baseline must carry the reference the gate actually enforced."""
+    import bench as b
+
+    (tmp_path / "CLEAN_PROBE.json").write_text(
+        '{"probe_s": 0.412, "stream_probe_s": 1.931}'
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RECORD_BASELINE", "1")
+    art = {
+        "calibration": {
+            "probe_s": 0.40,
+            "stream_probe_s": 1.90,
+            # What a run on the DEFAULT dir (constants) stamped:
+            "clean_probe": {"probe_s": 0.454, "stream_probe_s": 1.337,
+                            "derived": False},
+        }
+    }
+    assert b.maybe_record_baseline(art, here=str(tmp_path)) == 0
+    rec = json.loads((tmp_path / "BENCH_BASELINE.json").read_text())
+    cp = rec["calibration"]["clean_probe"]
+    assert cp == {"probe_s": 0.412, "stream_probe_s": 1.931, "derived": True}

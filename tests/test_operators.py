@@ -928,3 +928,41 @@ def test_release_managed_since_stale_mark_degrades_safely(spark):
     assert fired == ["inner"]
     assert inner.storageLevel.useMemory is False
     assert caching.release_managed() == 0  # registry actually empty
+
+
+def test_release_managed_since_interrupt_never_untracks():
+    """Review finding: a BaseException (Ctrl-C in a blocked py4j call)
+    escaping mid-release must not drop entries from the registries —
+    the release-then-filter ordering leaves everything tracked, so the
+    later release_managed() sweep can still free what the interrupted
+    call could not. Spark-free: the registry only needs .unpersist."""
+    import pytest as _pytest
+
+    from evaluate_human_balance_with_spark_streaming_spark import caching
+
+    class _Boom:
+        def unpersist(self, blocking=False):
+            raise KeyboardInterrupt
+
+    class _Ok:
+        def unpersist(self, blocking=False):
+            pass
+
+    caching._MANAGED.clear()
+    caching._CALLBACKS.clear()
+    keeper = _Ok()
+    caching._MANAGED.append(keeper)
+    mark = caching.managed_mark()
+    boom = _Boom()
+    caching._MANAGED.append(boom)
+    try:
+        with _pytest.raises(KeyboardInterrupt):
+            caching.release_managed_since(mark)
+        # The interrupt escaped before the registry filter ran: BOTH
+        # entries are still tracked (pre-mark keeper AND the entry
+        # whose release blew up) — nothing leaked out of the sweep's
+        # reach. (The except-Exception guard deliberately does not
+        # swallow BaseException: a Ctrl-C must still interrupt.)
+        assert caching._MANAGED == [keeper, boom]
+    finally:
+        caching._MANAGED.clear()

@@ -579,7 +579,27 @@ def test_replay_session_cache_keys_on_application_id(spark):
     assert ("local-000-dead-app", 4) not in runner._REPLAY_SESSIONS
 
 
-def test_watermarked_flagship_tight_delay_actually_evicts_state(spark, sf_dir):
+def _staggered_wire_copy(src: str, dst: str) -> str:
+    """Private copy of a materialized wire dir with part-file mtimes
+    strictly increasing in lexical order. FileStreamSource batches
+    files by (modification time, path); a single parquet write can
+    leave every part file with the SAME mtime, making batch
+    composition depend on tie-breaking — fine on this filesystem,
+    not guaranteed portable. Staggering pins the replay's batch
+    composition (and therefore watermark advancement and eviction
+    timing) by construction."""
+    import shutil as _sh
+
+    _sh.copytree(src, dst)
+    t0 = os.path.getmtime(dst) - 3600
+    for i, name in enumerate(sorted(os.listdir(dst))):
+        os.utime(os.path.join(dst, name), (t0 + 10 * i, t0 + 10 * i))
+    return dst
+
+
+def test_watermarked_flagship_tight_delay_actually_evicts_state(
+    spark, sf_dir, tmp_path
+):
     """VERDICT r07 item 3: the REGISTERED watermarked flagship (40-day
     delay) proves plan shape only — over a wire spanning ~30 days of
     event time its watermark never passes any row's band inside a
@@ -600,8 +620,12 @@ def test_watermarked_flagship_tight_delay_actually_evicts_state(spark, sf_dir):
     )
 
     rs = replay_session(spark)
-    cust_path = sq._cust_ts_wire(spark, sf_dir)
-    risk_path = sq._risk_wire(spark, sf_dir)
+    cust_path = _staggered_wire_copy(
+        sq._cust_ts_wire(spark, sf_dir), str(tmp_path / "cust_ts")
+    )
+    risk_path = _staggered_wire_copy(
+        sq._risk_wire(spark, sf_dir), str(tmp_path / "risk")
+    )
     tight = stedi.flagship_pipeline_watermarked(
         sq._open_wire(rs, cust_path, sq._WIRE_TS_SCHEMA),
         sq._open_wire(rs, risk_path),
