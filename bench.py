@@ -866,6 +866,17 @@ def wait_for_idle(
     sleep_fn = sleep_fn or time.sleep
     cpus = cpus or os.cpu_count() or 8
     bar = max(1.0, FORCE_MAX_LOADAVG_FRAC * cpus)
+
+    def _idle(la: list[float]) -> bool:
+        # The 1-minute average alone released a window mid-wave on
+        # this box (measured: released at la1 3.03 while la5 was
+        # still 6.55 — the wave resumed and the suite ran 1.07x with
+        # probes 1.23x/1.19x). Also require the 5-minute average
+        # under 2x the bar: after a real wave la5 decays through
+        # 2*bar within a few minutes, so the extra condition delays
+        # release slightly but refuses the eye of a passing storm.
+        return bool(la) and la[0] <= bar and (len(la) < 2 or la[1] <= 2 * bar)
+
     la = loadavg_fn()
     first = la[0] if la else None
     out = {
@@ -875,7 +886,7 @@ def wait_for_idle(
         "bar": bar,
         "loadavg_first": first,
         "loadavg_last": first,
-        "satisfied": bool(la) and la[0] <= bar,
+        "satisfied": _idle(la),
     }
     if out["satisfied"] or not la or budget_s <= 0:
         return out
@@ -892,7 +903,7 @@ def wait_for_idle(
         la = loadavg_fn()
         out["polls"] += 1
         out["loadavg_last"] = la[0] if la else None
-        if la and la[0] <= bar:
+        if _idle(la):
             out["satisfied"] = True
             break
     out["waited_s"] = round(waited, 1)

@@ -869,3 +869,33 @@ def test_recorded_baseline_carries_the_enforced_clean_probe(tmp_path, monkeypatc
     rec = json.loads((tmp_path / "BENCH_BASELINE.json").read_text())
     cp = rec["calibration"]["clean_probe"]
     assert cp == {"probe_s": 0.412, "stream_probe_s": 1.931, "derived": True}
+
+
+def test_wait_for_idle_refuses_the_eye_of_a_wave():
+    """Measured failure (SCALING.md r08): the 1-minute average dipped
+    to 3.03 mid-wave while the 5-minute average was still 6.55; the
+    wait released and the suite ran straight into the wave's
+    resumption. The release condition now also requires the 5-minute
+    average under 2x the bar."""
+    from bench import wait_for_idle
+
+    series = [
+        [3.03, 6.55, 4.40],  # the live mid-wave dip: la5 still hot
+        [2.90, 6.50, 4.40],
+        [0.90, 2.10, 3.00],  # the wave genuinely over
+    ]
+    calls = {"n": 0}
+
+    def fake_loadavg():
+        la = series[min(calls["n"], len(series) - 1)]
+        calls["n"] += 1
+        return la
+
+    slept: list[float] = []
+    out = wait_for_idle(
+        600.0, poll_s=5.0, cpus=32, loadavg_fn=fake_loadavg,
+        sleep_fn=slept.append,
+    )
+    assert out["satisfied"] is True
+    assert out["polls"] == 3  # the two mid-wave dips did NOT release
+    assert out["loadavg_last"] == 0.90
