@@ -713,22 +713,42 @@ def test_unsettled_series_bar_admits_measured_idle_variance():
 
 
 def test_idle_wait_budget_parsing():
-    """SPARK_GRAFT_WAIT_IDLE is strictly opt-in: unset, junk, and
-    non-positive values all mean 'do not wait'."""
-    from bench import idle_wait_budget_s
+    """SPARK_GRAFT_WAIT_IDLE defaults ON (bounded) so the DRIVER's
+    env-var-free invocation inherits the idleness protocol — the r07
+    verdict's motivation; unset and unparseable values fall back to
+    the bounded default, and only an explicit non-positive value opts
+    out. Every branch stays finite (never-block guarantee)."""
+    from bench import DEFAULT_IDLE_WAIT_S, idle_wait_budget_s
 
-    assert idle_wait_budget_s({}) == 0.0
-    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "banana"}) == 0.0
+    assert 0.0 < DEFAULT_IDLE_WAIT_S <= 3600.0  # bounded by design
+    assert idle_wait_budget_s({}) == DEFAULT_IDLE_WAIT_S
+    # Set-but-junk falls back to the default rather than silently
+    # disabling the protection a typo meant to tune.
+    assert (
+        idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "banana"})
+        == DEFAULT_IDLE_WAIT_S
+    )
+    # Explicit non-positive is the opt-out.
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "-5"}) == 0.0
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "0"}) == 0.0
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "600"}) == 600.0
     # float() accepts 'inf'/'1e400'/'nan' (review finding): an
     # infinite budget would make wait_for_idle loop forever on a
-    # loaded box — the never-block guarantee must hold; and any
-    # finite budget is capped at one hour.
-    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "inf"}) == 0.0
-    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "1e400"}) == 0.0
-    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "nan"}) == 0.0
+    # loaded box — the never-block guarantee must hold; both fall back
+    # to the bounded default, and any finite budget is capped at one
+    # hour.
+    assert (
+        idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "inf"})
+        == DEFAULT_IDLE_WAIT_S
+    )
+    assert (
+        idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "1e400"})
+        == DEFAULT_IDLE_WAIT_S
+    )
+    assert (
+        idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "nan"})
+        == DEFAULT_IDLE_WAIT_S
+    )
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "7200"}) == 3600.0
 
 
@@ -792,8 +812,8 @@ def test_wait_for_idle_refusal_is_bounded_and_documented(capsys):
 
 
 def test_wait_for_idle_zero_budget_never_sleeps():
-    """With the env unset (budget 0) a loaded box proceeds straight to
-    the suite — existing driver behavior is unchanged by default."""
+    """With the explicit opt-out (SPARK_GRAFT_WAIT_IDLE=0 → budget 0)
+    a loaded box proceeds straight to the suite without sleeping."""
     from bench import wait_for_idle
 
     slept: list[float] = []
