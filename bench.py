@@ -838,24 +838,29 @@ def idle_wait_budget_s(env: dict | None = None) -> float:
     env = os.environ if env is None else env
     if "SPARK_GRAFT_WAIT_IDLE" not in env:
         return DEFAULT_IDLE_WAIT_S
-    raw = env.get("SPARK_GRAFT_WAIT_IDLE", "")
+    raw = env["SPARK_GRAFT_WAIT_IDLE"]
+    # `SPARK_GRAFT_WAIT_IDLE= python bench.py` (or an empty
+    # interpolated shell variable) is the common idiom for disabling a
+    # knob: a deliberate blank is an opt-out, not a typo.
+    if isinstance(raw, str) and not raw.strip():
+        return 0.0
     try:
         budget = float(raw)
     except (TypeError, ValueError):
         # Set but unusable: fall back to the (bounded) default rather
         # than silently disabling the protection a typo meant to tune.
         return DEFAULT_IDLE_WAIT_S
-    # float() accepts 'inf'/'1e400' (review finding): an infinite
-    # budget would make wait_for_idle's `while waited < budget_s` loop
-    # forever on a loaded box — the exact driver-timeout hang the wait
-    # exists to avoid. NaN compares false everywhere and would skip
-    # the cap. Both fall back to the bounded default. Explicit <= 0 is
-    # the opt-out. Cap at one hour: longer than any measured load wave
-    # on this box, still bounded.
-    if not math.isfinite(budget):
-        return DEFAULT_IDLE_WAIT_S
+    # Explicit <= 0 is the opt-out (including -inf). Then float()
+    # accepts 'inf'/'1e400' (review finding): an infinite budget would
+    # make wait_for_idle's `while waited < budget_s` loop forever on a
+    # loaded box — the exact driver-timeout hang the wait exists to
+    # avoid. NaN compares false on both tests and would skip the cap.
+    # Both fall back to the bounded default. Cap at one hour: longer
+    # than any measured load wave on this box, still bounded.
     if budget <= 0:
         return 0.0
+    if not math.isfinite(budget):
+        return DEFAULT_IDLE_WAIT_S
     return min(budget, 3600.0)
 
 

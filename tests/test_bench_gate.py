@@ -728,9 +728,18 @@ def test_idle_wait_budget_parsing():
         idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "banana"})
         == DEFAULT_IDLE_WAIT_S
     )
-    # Explicit non-positive is the opt-out.
+    # Explicit non-positive is the opt-out — including -inf, which is
+    # a valid float the pre-default code also mapped to no-wait
+    # (review finding: the opt-out check must precede the isfinite
+    # fallback).
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "-5"}) == 0.0
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "0"}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "-inf"}) == 0.0
+    # A deliberate blank (`SPARK_GRAFT_WAIT_IDLE= python bench.py`,
+    # or an empty interpolated shell variable) is the common idiom
+    # for disabling a knob: opt-out, not a typo (review finding).
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": ""}) == 0.0
+    assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "  "}) == 0.0
     assert idle_wait_budget_s({"SPARK_GRAFT_WAIT_IDLE": "600"}) == 600.0
     # float() accepts 'inf'/'1e400'/'nan' (review finding): an
     # infinite budget would make wait_for_idle loop forever on a
