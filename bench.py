@@ -825,6 +825,18 @@ def derive_clean_probe(here: str | None = None) -> int:
 # across it very likely catches a gap; on an idle box wait_for_idle
 # returns without sleeping, so the default costs nothing there. Set
 # SPARK_GRAFT_WAIT_IDLE=0 to opt out entirely.
+#
+# Small-box caveat (ADVICE r08): wait_for_idle's release condition
+# also requires la5 <= 2*bar, and on <=10 cpus the bar clamps to 1.0,
+# so a box with chronic background la5 > 2.0 burns this whole budget
+# before proceeding even when la1 is idle. That is accepted, not
+# fixed by scaling the guard off cpus: the suggested
+# max(2*bar, 0.25*cpus) would loosen THIS 32-cpu box's guard from 6.4
+# to 8.0 and re-admit the measured mid-wave release (la1 3.03 with
+# la5 still 6.55 — suite ran 1.07x with probes 1.23x/1.19x). A
+# chronically loaded small box should opt out or tune the budget via
+# SPARK_GRAFT_WAIT_IDLE; the wait proceeds either way after the
+# budget, so nothing hangs.
 DEFAULT_IDLE_WAIT_S = 600.0
 
 
@@ -1139,6 +1151,7 @@ def main() -> int:
         load,
         retried=retried,
         record=True,
+        spark=spark,
     )
 
 
@@ -1278,6 +1291,77 @@ def maybe_record_baseline(artifact: dict, here: str | None = None) -> int:
     return 0
 
 
+def probe_clean_flag(
+    probe_s: float | None,
+    stream_probe_s: float | None,
+    ref: dict,
+    max_ratio: float = BASELINE_MAX_PROBE_RATIO,
+) -> bool:
+    """True iff BOTH calibration probes sit within ``max_ratio`` of
+    their clean-box reference pins — the exact condition the r08
+    closing campaign used to partition its tally into probe-clean
+    (0.950/0.951/0.992x) vs probe-elevated (1.00-1.15x) runs. Emitted
+    as a top-level artifact field (VERDICT r08 item 6) so a reader
+    gets the partition from the artifact alone instead of recomputing
+    it from calibration. A run with a missing probe is NOT clean: no
+    evidence is not evidence of idleness (same stance as
+    baseline_recording_error). Pure, for Spark-free gate tests."""
+    if not probe_s or not stream_probe_s:
+        return False
+    return (
+        probe_s <= max_ratio * ref["probe_s"]
+        and stream_probe_s <= max_ratio * ref["stream_probe_s"]
+    )
+
+
+def shutdown_spark(spark) -> None:
+    """Stop every active streaming query, then the session — BEFORE
+    the metric JSON is printed (VERDICT r08's one defect): bench.py
+    used to let the JVM die at interpreter exit, and a state-store
+    maintenance thread racing that shutdown dumped "Could not unload
+    state store provider … RpcEnv already stopped" onto stdout AFTER
+    the metric line, pushing it out of the driver's fixed-size tail
+    capture (BENCH_r08.json: parsed null). spark.stop() unloads state
+    store providers synchronously, so any shutdown noise lands before
+    the artifact line. Per-step exceptions are swallowed: a dying
+    stream must not be able to block the artifact from printing."""
+    try:
+        for q in list(spark.streams.active):
+            try:
+                q.stop()
+            except Exception:
+                pass
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+SELF_ARTIFACT_FILE = "BENCH_SELF.json"
+
+
+def _write_self_artifact(artifact: dict, here: str | None = None) -> None:
+    """Durable sidecar for the metric artifact (VERDICT r08 item 1):
+    even if stdout is garbled or truncated by shutdown noise, the full
+    artifact survives on disk next to bench.py. Written BEFORE session
+    teardown and the stdout line, so it exists no matter what the
+    shutdown path does. SPARK_GRAFT_SELF_ARTIFACT overrides the path
+    (tests point it at a tmp dir). Failure to write is reported but
+    never fails the run — the sidecar is belt-and-braces, not a gate."""
+    path = os.environ.get("SPARK_GRAFT_SELF_ARTIFACT")
+    if not path:
+        here = here or os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, SELF_ARTIFACT_FILE)
+    try:
+        with open(path, "w") as f:
+            json.dump(artifact, f)
+            f.write("\n")
+    except OSError as e:
+        print(f"# SELF ARTIFACT write failed ({e}) — stdout only", file=sys.stderr)
+
+
 def report_and_gate(
     timings: dict[str, float],
     total: float,
@@ -1288,6 +1372,7 @@ def report_and_gate(
     load: dict | None = None,
     retried: dict[str, int] | None = None,
     record: bool = False,
+    spark=None,
 ) -> int:
     """Print the driver JSON line and return the exit code: non-zero on
     any >REGRESSION_FACTOR per-query regression unless
@@ -1422,7 +1507,24 @@ def report_and_gate(
         "regressions": regressions,
         "retried": dict(sorted((retried or {}).items())),
         "reps_overrides": dict(sorted(QUERY_REPS.items())),
+        # Top-level probe-clean partition (VERDICT r08 item 6): both
+        # calibration probes within BASELINE_MAX_PROBE_RATIO of the
+        # clean-box reference — the exact condition the r08 closing
+        # campaign used to split its tally into below-baseline
+        # (probe-clean) vs jitter-band (probe-elevated) runs.
+        "probe_clean": probe_clean_flag(
+            calibration.get("probe_s"), calibration.get("stream_probe_s"), ref
+        ),
     }
+    # Emission order is the r08 fix: (1) durable sidecar first, so the
+    # evidence exists no matter what shutdown does to stdout; (2) stop
+    # streams + the session, so state-store unload noise lands BEFORE
+    # the metric line instead of scrolling it out of the driver's
+    # fixed-size tail capture (BENCH_r08.json: parsed null); (3) the
+    # metric JSON as the last line of the run.
+    _write_self_artifact(artifact)
+    if spark is not None:
+        shutdown_spark(spark)
     print(json.dumps(artifact))
     code = maybe_record_baseline(artifact) if record else 0
     if regressions and not os.environ.get("SPARK_GRAFT_BENCH_LENIENT"):

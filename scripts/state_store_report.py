@@ -27,13 +27,15 @@ Usage:
 
 Defaults: /root/testdata/sf0.1, K=10, 2 files/trigger over 4-file
 wires (the bench-identical shape — feeds SCALING.md r07). The two
-extra knobs exist for the micro-batch-size sweep (VERDICT r07 item 4):
-RocksDB's ~2× wall at the default shape is per-batch store
-open/commit/snapshot cost, so the SAME rows replayed in fewer, larger
-micro-batches (e.g. 16-file wires at 2/trigger = 8 batches vs
-8/trigger = 2 batches) should shrink the RocksDB:HDFS wall ratio —
-measured numbers in SCALING.md r08. SSR_VARIANTS (comma list) limits
-the run to named variants so the sweep doesn't pay for all three.
+extra knobs exist for the micro-batch-size sweep (VERDICT r07 item 4).
+Measured outcome (SCALING.md r08 table): replaying the SAME rows in
+fewer, larger micro-batches amortizes RocksDB's per-batch fixed cost
+(the absolute open/commit/snapshot premium falls), but the
+RocksDB:HDFS *wall ratio* stays ~2× (1.68× → 1.98× as batches shrink
+8 → 1) because ~7-8 µs/row native ingest dominates — the 100 TB
+argument for RocksDB is the memory trade + linear scaling, not a
+vanishing ratio. SSR_VARIANTS (comma list) limits the run to named
+variants so the sweep doesn't pay for all three.
 """
 
 from __future__ import annotations

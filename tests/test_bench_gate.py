@@ -32,13 +32,19 @@ from bench import (
 
 
 @pytest.fixture(autouse=True)
-def _no_ambient_baseline_recording(monkeypatch):
+def _no_ambient_baseline_recording(monkeypatch, tmp_path):
     """ADVICE r05: a dev running pytest with SPARK_GRAFT_RECORD_BASELINE
     exported must not have gate tests write the pinned baseline.
     report_and_gate no longer records at all (record=False default),
-    but clear the env anyway so no future test can trip over it."""
+    but clear the env anyway so no future test can trip over it.
+    Likewise route the BENCH_SELF.json sidecar (r09) to tmp: gate
+    tests call report_and_gate with fake timings, and a repo-root
+    sidecar full of test data would masquerade as bench evidence."""
     monkeypatch.delenv("SPARK_GRAFT_RECORD_BASELINE", raising=False)
     monkeypatch.delenv("SPARK_GRAFT_BASELINE_FORCE", raising=False)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_SELF_ARTIFACT", str(tmp_path / "BENCH_SELF.json")
+    )
 
 
 def test_find_regressions_flags_only_over_factor():
@@ -928,3 +934,136 @@ def test_wait_for_idle_refuses_the_eye_of_a_wave():
     assert out["satisfied"] is True
     assert out["polls"] == 3  # the two mid-wave dips did NOT release
     assert out["loadavg_last"] == 0.90
+
+
+def test_probe_clean_flag_truth_table():
+    """VERDICT r08 item 6: the probe-clean partition is a pure
+    predicate — both probes within the ratio of their clean-box pins;
+    a missing probe is NOT clean (no evidence is not evidence of
+    idleness)."""
+    ref = {"probe_s": 1.0, "stream_probe_s": 2.0}
+    assert bench.probe_clean_flag(1.04, 2.08, ref, max_ratio=1.05) is True
+    assert bench.probe_clean_flag(1.06, 2.0, ref, max_ratio=1.05) is False
+    assert bench.probe_clean_flag(1.0, 2.2, ref, max_ratio=1.05) is False
+    assert bench.probe_clean_flag(None, 2.0, ref) is False
+    assert bench.probe_clean_flag(1.0, None, ref) is False
+    assert bench.probe_clean_flag(0.0, 2.0, ref) is False
+
+
+def test_write_self_artifact_sidecar(monkeypatch, tmp_path):
+    """VERDICT r08 item 1: the artifact survives on disk even if
+    stdout is garbled — one JSON object, newline-terminated, at the
+    env-var path."""
+    path = tmp_path / "side" / "BENCH_SELF.json"
+    path.parent.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(path))
+    bench._write_self_artifact({"metric": "m", "value": 1.5})
+    raw = path.read_text()
+    assert raw.endswith("\n")
+    assert json.loads(raw) == {"metric": "m", "value": 1.5}
+
+
+class _FakeStream:
+    def __init__(self, log, name, raise_on_stop=False):
+        self._log, self._name, self._raise = log, name, raise_on_stop
+
+    def stop(self):
+        self._log.append(f"stream_stop:{self._name}")
+        if self._raise:
+            raise RuntimeError("dying stream")
+
+
+class _FakeStreams:
+    def __init__(self, log, active):
+        self._log, self.active = log, active
+
+
+class _FakeSpark:
+    """Minimal duck-typed session for the shutdown-order tests; its
+    stop() emits the exact shutdown noise that ate BENCH_r08.json's
+    metric line, so the order test reproduces the failure mode."""
+
+    def __init__(self, log, streams=()):
+        self.log = log
+        self.streams = _FakeStreams(log, list(streams))
+
+    def stop(self):
+        self.log.append("spark_stop")
+        print("WARN Could not unload state store provider (fake)")
+
+
+def test_shutdown_spark_stops_streams_then_session():
+    """Streams stop before the session, and a stream whose stop()
+    raises cannot block session teardown (a dying stream must never
+    block the artifact)."""
+    log: list[str] = []
+    fake = _FakeSpark(
+        log,
+        streams=[
+            _FakeStream(log, "a", raise_on_stop=True),
+            _FakeStream(log, "b"),
+        ],
+    )
+    bench.shutdown_spark(fake)
+    assert log == ["stream_stop:a", "stream_stop:b", "spark_stop"]
+
+
+def test_metric_line_emitted_after_session_teardown(
+    monkeypatch, tmp_path, capsys
+):
+    """THE r08 fix, pinned end-to-end (VERDICT r08 item 1): BENCH_r08
+    lost its per-query numbers because state-store shutdown noise
+    landed on stdout AFTER the metric line and scrolled it out of the
+    driver's tail capture. report_and_gate must (1) write the sidecar,
+    (2) stop streams + session — so shutdown noise lands FIRST — and
+    (3) print the metric JSON as the LAST stdout line."""
+    side = tmp_path / "BENCH_SELF.json"
+    monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(side))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
+    log: list[str] = []
+    fake = _FakeSpark(log, streams=[_FakeStream(log, "s")])
+    rc = report_and_gate({"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2, spark=fake)
+    assert rc == 0
+    assert log == ["stream_stop:s", "spark_stop"]  # teardown happened
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    # The fake session's shutdown noise is on stdout BEFORE the metric
+    # line; the metric JSON is the very last line.
+    assert any("Could not unload state store" in ln for ln in out_lines[:-1])
+    line = json.loads(out_lines[-1])
+    assert line["metric"] == "headline_suite_best_sum"
+    # ... and the sidecar carries the identical artifact, so even a
+    # truncated tail capture cannot lose the evidence.
+    assert json.loads(side.read_text()) == line
+
+
+def test_artifact_probe_clean_field(monkeypatch, capsys):
+    """The artifact says probe_clean itself (VERDICT r08 item 6) —
+    true when both probes sit within BASELINE_MAX_PROBE_RATIO of the
+    clean-probe reference, false otherwise."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: 1.0)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: 2.0)
+    monkeypatch.setattr(
+        bench,
+        "_clean_probe_reference",
+        lambda here=None: {
+            "probe_s": 1.0,
+            "stream_probe_s": 2.0,
+            "derived": False,
+        },
+    )
+    for probe, sprobe, want in [(1.0, 2.0, True), (1.2, 2.0, False)]:
+        report_and_gate(
+            {"q": 1.0},
+            1.0,
+            1.0,
+            sf=0.1,
+            reps=2,
+            calibration={"probe_s": probe, "stream_probe_s": sprobe},
+        )
+        line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert line["probe_clean"] is want

@@ -631,10 +631,15 @@ def test_watermarked_flagship_tight_delay_actually_evicts_state(
         sq._open_wire(rs, risk_path),
         watermark="1 minutes",
     )
+    # Multisets, not sets (ADVICE r08): the band join may emit
+    # duplicate rows, and an eviction that dropped one copy of a
+    # duplicate would be invisible to set equality.
+    from collections import Counter
+
     progress: list[dict] = []
-    got = {
+    got = Counter(
         tuple(r) for r in run_to_memory(tight, progress_out=progress).collect()
-    }
+    )
 
     removed = sum(
         op.get("numRowsRemoved") or 0
@@ -649,8 +654,8 @@ def test_watermarked_flagship_tight_delay_actually_evicts_state(
     # output eviction must never change.
     cust_b = rs.read.schema(sq._WIRE_TS_SCHEMA).parquet(cust_path)
     risk_b = rs.read.schema(sq._WIRE_SCHEMA).parquet(risk_path)
-    expected = {
+    expected = Counter(
         tuple(r)
         for r in stedi.flagship_pipeline_watermarked(cust_b, risk_b).collect()
-    }
+    )
     assert got == expected
