@@ -1304,13 +1304,20 @@ def probe_clean_flag(
     as a top-level artifact field (VERDICT r08 item 6) so a reader
     gets the partition from the artifact alone instead of recomputing
     it from calibration. A run with a missing probe is NOT clean: no
-    evidence is not evidence of idleness (same stance as
-    baseline_recording_error). Pure, for Spark-free gate tests."""
-    if not probe_s or not stream_probe_s:
-        return False
+    evidence is not evidence of idleness. The predicate IS the
+    baseline-record idleness rule (one implementation — review: two
+    copies of the two-probe-vs-pins rule could drift apart, making
+    the artifact's flag disagree with what the record gate actually
+    enforces). Pure, for Spark-free gate tests."""
     return (
-        probe_s <= max_ratio * ref["probe_s"]
-        and stream_probe_s <= max_ratio * ref["stream_probe_s"]
+        baseline_recording_error(
+            probe_s,
+            pinned=ref["probe_s"],
+            max_ratio=max_ratio,
+            stream_probe_s=stream_probe_s,
+            stream_pinned=ref["stream_probe_s"],
+        )
+        is None
     )
 
 
@@ -1355,10 +1362,21 @@ def _write_self_artifact(artifact: dict, here: str | None = None) -> None:
         here = here or os.path.dirname(os.path.abspath(__file__))
         path = os.path.join(here, SELF_ARTIFACT_FILE)
     try:
-        with open(path, "w") as f:
-            json.dump(artifact, f)
-            f.write("\n")
-    except OSError as e:
+        # Serialize fully BEFORE touching the file, then write to a
+        # temp sibling and os.replace (atomic on POSIX): json.dump
+        # straight into open(path, "w") would truncate the previous
+        # good sidecar first and leave a corrupt prefix on any
+        # mid-dump failure (unserializable value, ENOSPC) — exactly
+        # the evidence loss the sidecar exists to prevent. Catch
+        # Exception, not just OSError: a TypeError escaping here
+        # would abort report_and_gate before session teardown and
+        # the metric line (review findings ×2).
+        payload = json.dumps(artifact) + "\n"
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    except Exception as e:
         print(f"# SELF ARTIFACT write failed ({e}) — stdout only", file=sys.stderr)
 
 
@@ -1521,8 +1539,13 @@ def report_and_gate(
     # streams + the session, so state-store unload noise lands BEFORE
     # the metric line instead of scrolling it out of the driver's
     # fixed-size tail capture (BENCH_r08.json: parsed null); (3) the
-    # metric JSON as the last line of the run.
-    _write_self_artifact(artifact)
+    # metric JSON as the last line of the run. The sidecar is gated
+    # on `record` like the baseline write (review — same ADVICE r05
+    # hazard): only main() passes True, so no other report_and_gate
+    # caller can overwrite the repo-root evidence file with synthetic
+    # timings.
+    if record:
+        _write_self_artifact(artifact)
     if spark is not None:
         shutdown_spark(spark)
     print(json.dumps(artifact))

@@ -953,7 +953,9 @@ def test_probe_clean_flag_truth_table():
 def test_write_self_artifact_sidecar(monkeypatch, tmp_path):
     """VERDICT r08 item 1: the artifact survives on disk even if
     stdout is garbled — one JSON object, newline-terminated, at the
-    env-var path."""
+    env-var path; a failed write preserves the previous good sidecar
+    and never raises (review: json.dump straight into open('w')
+    destroyed the prior evidence on any mid-dump failure)."""
     path = tmp_path / "side" / "BENCH_SELF.json"
     path.parent.mkdir()
     monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(path))
@@ -961,6 +963,28 @@ def test_write_self_artifact_sidecar(monkeypatch, tmp_path):
     raw = path.read_text()
     assert raw.endswith("\n")
     assert json.loads(raw) == {"metric": "m", "value": 1.5}
+    # An unserializable artifact must not raise AND must not corrupt
+    # the existing sidecar (atomic temp-file replace).
+    bench._write_self_artifact({"metric": object()})
+    assert json.loads(path.read_text()) == {"metric": "m", "value": 1.5}
+
+
+def test_sidecar_gated_on_record(monkeypatch, tmp_path, capsys):
+    """Review (same hazard as ADVICE r05's baseline gate): only
+    main()'s record=True invocation may write the sidecar — a
+    report_and_gate caller with synthetic timings must never
+    overwrite the repo-root evidence file."""
+    side = tmp_path / "BENCH_SELF.json"
+    monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(side))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
+    report_and_gate({"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2)
+    assert not side.exists()
+    report_and_gate({"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2, record=True)
+    assert side.exists()
+    capsys.readouterr()
 
 
 class _FakeStream:
@@ -1025,7 +1049,12 @@ def test_metric_line_emitted_after_session_teardown(
     monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
     log: list[str] = []
     fake = _FakeSpark(log, streams=[_FakeStream(log, "s")])
-    rc = report_and_gate({"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2, spark=fake)
+    # record=True is main()'s invocation (and the sidecar gate); the
+    # autouse fixture cleared SPARK_GRAFT_RECORD_BASELINE, so the
+    # baseline-record path stays a no-op.
+    rc = report_and_gate(
+        {"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2, spark=fake, record=True
+    )
     assert rc == 0
     assert log == ["stream_stop:s", "spark_stop"]  # teardown happened
     out_lines = capsys.readouterr().out.strip().splitlines()
