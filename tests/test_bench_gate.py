@@ -187,12 +187,16 @@ def test_gate_fails_run_on_regression_by_default(monkeypatch, capsys):
     assert line["calibration"]["credited_drift"] == 1.0
 
 
-def test_report_carries_calibration_and_load(monkeypatch, capsys):
+def test_report_carries_calibration_and_load(monkeypatch, capsys, tmp_path):
     """The artifact itself carries what adjudicates an environmental-
     drift claim: probe seconds vs recorded baseline, the credited
     drift, and loadavg before/after (VERDICT r03 item 1's
-    done-criterion)."""
+    done-criterion). Since r10 the stdout line is COMPACT (calibration
+    trimmed to scalars, load and the timing-protocol string sidecar-
+    only), so the full-artifact assertions read BENCH_SELF.json."""
     monkeypatch.delenv("SPARK_GRAFT_BENCH_LENIENT", raising=False)
+    side = tmp_path / "side.json"
+    monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(side))
     monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0, "r": 1.0})
     monkeypatch.setattr(bench, "_baseline_probe", lambda: 0.8)
     monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
@@ -204,13 +208,14 @@ def test_report_carries_calibration_and_load(monkeypatch, capsys):
         reps=2,
         calibration={"probe_s": 1.0, "probe_pre_s": 1.1, "probe_post_s": 1.0},
         load={"loadavg_pre": [0.1, 0.2, 0.3], "loadavg_post": [30.0, 10.0, 4.0], "cpus": 32},
+        record=True,
     )
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # Compact line keeps the drift-audit scalars …
     assert line["calibration"]["raw_ratio"] == 1.25
     assert line["calibration"]["credited_drift"] == 1.25
     assert line["calibration"]["baseline_s"] == 0.8
-    assert line["load"]["loadavg_post"] == [30.0, 10.0, 4.0]
     assert line["comparable"] == {
         "queries": 2,
         "sum_now": 3.0,
@@ -220,10 +225,18 @@ def test_report_carries_calibration_and_load(monkeypatch, capsys):
         # back to the batch credit.
         "credited_drift_stream": 1.25,
     }
+    assert line["retried"] == {}
+    assert line["self_artifact"] == "side.json"
+    # … while load, the pre/post probe windows, and the timing
+    # protocol string live in the FULL sidecar artifact.
+    assert "load" not in line and "timing" not in line
+    assert "probe_pre_s" not in line["calibration"]
+    full = json.loads(side.read_text())
+    assert full["load"]["loadavg_post"] == [30.0, 10.0, 4.0]
+    assert full["calibration"]["probe_pre_s"] == 1.1
     # No retries → base protocol string (plus the standing QUERY_REPS
     # floor note) and empty retried map.
-    assert line["timing"] == "per-query best of 2; floored per reps_overrides"
-    assert line["retried"] == {}
+    assert full["timing"] == "per-query best of 2; floored per reps_overrides"
 
 
 def test_report_timing_field_reflects_retries(monkeypatch, capsys):
@@ -237,11 +250,15 @@ def test_report_timing_field_reflects_retries(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
     monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
     report_and_gate(
-        {"q": 1.2}, 1.2, 1.2, sf=0.1, reps=2, retried={"q": 3}
+        {"q": 1.2}, 1.2, 1.2, sf=0.1, reps=2, retried={"q": 3}, record=True
     )
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # The protocol string is sidecar-only since the r10 compact line.
+    full = json.loads(
+        open(os.environ["SPARK_GRAFT_SELF_ARTIFACT"]).read()
+    )
     assert (
-        line["timing"]
+        full["timing"]
         == "per-query best of 2; floored per reps_overrides; retried "
         "queries best of the attempt counts in `retried`"
     )
@@ -538,12 +555,15 @@ def test_report_carries_reps_overrides(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_baseline_timings", lambda: {})
     monkeypatch.setattr(bench, "_baseline_probe", lambda: None)
     monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
-    assert bench.report_and_gate({"q": 1.0}, 1.0, 1.0, 0.1, 2) == 0
+    assert bench.report_and_gate({"q": 1.0}, 1.0, 1.0, 0.1, 2, record=True) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["reps_overrides"] == dict(sorted(bench.QUERY_REPS.items()))
     assert "dedup_minhash_lsh" in out["reps_overrides"]
     assert out["reps_overrides"]["dedup_minhash_lsh"] > 2
-    assert "floored per reps_overrides" in out["timing"]
+    # timing (the protocol string) is sidecar-only since r10's
+    # compact line.
+    full = json.loads(open(os.environ["SPARK_GRAFT_SELF_ARTIFACT"]).read())
+    assert "floored per reps_overrides" in full["timing"]
 
 
 def test_clean_probe_reference_file_overrides_constants(tmp_path):
@@ -959,14 +979,29 @@ def test_write_self_artifact_sidecar(monkeypatch, tmp_path):
     path = tmp_path / "side" / "BENCH_SELF.json"
     path.parent.mkdir()
     monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(path))
-    bench._write_self_artifact({"metric": "m", "value": 1.5})
+    assert bench._write_self_artifact({"metric": "m", "value": 1.5}) == str(path)
     raw = path.read_text()
     assert raw.endswith("\n")
     assert json.loads(raw) == {"metric": "m", "value": 1.5}
     # An unserializable artifact must not raise AND must not corrupt
-    # the existing sidecar (atomic temp-file replace).
-    bench._write_self_artifact({"metric": object()})
+    # the existing sidecar (atomic temp-file replace); the failure
+    # returns None (no stdout pointer to a sidecar that wasn't
+    # updated) and leaves no stray temp sibling behind (ADVICE r09).
+    assert bench._write_self_artifact({"metric": object()}) is None
     assert json.loads(path.read_text()) == {"metric": "m", "value": 1.5}
+    assert sorted(p.name for p in path.parent.iterdir()) == ["BENCH_SELF.json"]
+    # A failure AFTER the temp file exists (atomic-rename step) must
+    # unlink it — the broad except used to hide the stale sibling.
+    real_replace = os.replace
+
+    def broken_replace(src, dst):
+        raise OSError("simulated ENOSPC at rename")
+
+    monkeypatch.setattr(bench.os, "replace", broken_replace)
+    assert bench._write_self_artifact({"metric": "m2"}) is None
+    monkeypatch.setattr(bench.os, "replace", real_replace)
+    assert json.loads(path.read_text()) == {"metric": "m", "value": 1.5}
+    assert sorted(p.name for p in path.parent.iterdir()) == ["BENCH_SELF.json"]
 
 
 def test_sidecar_gated_on_record(monkeypatch, tmp_path, capsys):
@@ -1063,9 +1098,15 @@ def test_metric_line_emitted_after_session_teardown(
     assert any("Could not unload state store" in ln for ln in out_lines[:-1])
     line = json.loads(out_lines[-1])
     assert line["metric"] == "headline_suite_best_sum"
-    # ... and the sidecar carries the identical artifact, so even a
-    # truncated tail capture cannot lose the evidence.
-    assert json.loads(side.read_text()) == line
+    # ... and the sidecar carries the FULL artifact (the stdout line
+    # is the r10 compact subset of it, pointing back at the sidecar),
+    # so even a truncated tail capture cannot lose the evidence.
+    full = json.loads(side.read_text())
+    assert line["self_artifact"] == "BENCH_SELF.json"
+    for k in ("metric", "value", "unit", "sf", "queries", "regressions",
+              "probe_clean"):
+        assert line[k] == full[k]
+    assert "timing" in full and "load" in full  # full-only detail
 
 
 def test_artifact_probe_clean_field(monkeypatch, capsys):
@@ -1096,3 +1137,160 @@ def test_artifact_probe_clean_field(monkeypatch, capsys):
         )
         line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert line["probe_clean"] is want
+
+
+def _representative_artifact() -> dict:
+    """A fully-populated artifact shaped like a real sf0.1 driver run
+    (VERDICT r09: the real one serialized to 2042 chars): all 24
+    headline queries with their real (long) names, full calibration
+    with probe series and pre/post windows, load with idle_wait
+    detail, and non-empty retried — the worst realistic case the
+    compact line must absorb."""
+    queries = {name: round(0.5 + 0.123 * i, 3) for i, name in enumerate(bench.HEADLINE)}
+    return {
+        "metric": "headline_suite_best_sum",
+        "value": 23.906,
+        "unit": "sec",
+        "timing": "per-query best of 3; floored per reps_overrides; "
+        "retried queries best of the attempt counts in `retried`",
+        "wall_s": 87.769,
+        "queries": queries,
+        "sf": 0.1,
+        "calibration": {
+            "probe_s": 0.367,
+            "probe_pre_s": 0.367,
+            "probe_post_s": 0.407,
+            "probe_pre_series": [0.443, 0.376, 0.367],
+            "probe_post_series": [0.425, 0.411, 0.407],
+            "rows": 8000000,
+            "stream_probe_s": 1.291,
+            "stream_probe_pre_s": 1.291,
+            "stream_probe_post_s": 1.31,
+            "stream_probe_pre_series": [1.36, 1.299, 1.291],
+            "stream_probe_post_series": [1.38, 1.33, 1.31],
+            "stream_rows": 65536,
+            "baseline_s": 0.335,
+            "raw_ratio": 1.096,
+            "credited_drift": 1.096,
+            "stream_baseline_s": 1.337,
+            "stream_raw_ratio": 0.966,
+            "credited_drift_stream": 1.096,
+            "clean_probe": {"probe_s": 0.454, "stream_probe_s": 1.337,
+                            "derived": False},
+        },
+        "load": {
+            "loadavg_pre": [2.96728515625, 3.1103515625, 1.7333984375],
+            "loadavg_post": [7.8203125, 5.0498046875, 2.61962890625],
+            "cpus": 32,
+            "idle_wait": {"requested_s": 600.0, "waited_s": 55.0,
+                          "polls": 12, "bar": 3.2,
+                          "loadavg_first": 7.3505859375,
+                          "loadavg_last": 2.96728515625, "satisfied": True},
+        },
+        "comparable": {"queries": 24, "sum_now": 23.906,
+                       "sum_baseline": 23.75, "credited_drift": 1.096,
+                       "credited_drift_stream": 1.096},
+        "regressions": {},
+        "retried": {"dedup_minhash_lsh": 8, "stream_session_quality": 6},
+        "reps_overrides": {"dedup_minhash_lsh": 5},
+        "probe_clean": True,
+    }
+
+
+def test_compact_line_fits_driver_tail_capture():
+    """THE r10 fix, pinned (VERDICT r09's one defect): the final
+    stdout line must fit the driver's 2000-char tail capture — r09's
+    full-artifact line was 2042 chars and `parsed` came back null by
+    42 characters. On a fully-populated representative artifact (24
+    real query names, retried non-empty) the compact line stays under
+    1800 (headroom against growth), parses as one JSON object, keeps
+    the per-query map and gate fields, and points at the sidecar."""
+    art = _representative_artifact()
+    assert len(json.dumps(art)) > 2000  # the full line really overflows
+    line = bench.compact_artifact_line(art, self_artifact="/x/BENCH_SELF.json")
+    assert len(line) < 1800
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_suite_best_sum"
+    assert obj["value"] == 23.906
+    assert obj["queries"] == art["queries"]
+    assert obj["regressions"] == {}
+    assert obj["retried"] == {"dedup_minhash_lsh": 8, "stream_session_quality": 6}
+    assert obj["probe_clean"] is True
+    assert obj["comparable"]["sum_baseline"] == 23.75
+    assert obj["self_artifact"] == "BENCH_SELF.json"
+    # Trimmed calibration: audit scalars stay, bulk goes to sidecar.
+    assert obj["calibration"]["raw_ratio"] == 1.096
+    assert "probe_pre_series" not in obj["calibration"]
+    assert "probe_pre_s" not in obj["calibration"]
+    assert "load" not in obj and "timing" not in obj
+    # No sidecar written -> no pointer claiming one exists.
+    assert "self_artifact" not in json.loads(bench.compact_artifact_line(art))
+
+
+def test_compact_line_degrades_deterministically_under_pathology():
+    """Even a pathological artifact (every query regressed AND
+    retried) must produce a final line within COMPACT_LINE_MAX, with
+    regressions visible in SOME form at every degradation step."""
+    art = _representative_artifact()
+    art["regressions"] = {
+        name: {"now": round(2.5 + i, 3), "baseline": round(1.0 + i, 3),
+               "drift": 1.093}
+        for i, name in enumerate(bench.HEADLINE)
+    }
+    art["retried"] = {name: 9 for name in bench.HEADLINE}
+    line = bench.compact_artifact_line(art, self_artifact="BENCH_SELF.json")
+    assert len(line) <= bench.COMPACT_LINE_MAX
+    obj = json.loads(line)
+    assert obj["regressions"]  # never silently dropped
+    assert obj["value"] == 23.906 and obj["probe_clean"] is True
+    # Absurd worst case: regressions collapse to a count, line still fits.
+    art["regressions"] = {
+        f"query_with_a_very_long_generated_name_{i:04d}": {
+            "now": 99.123, "baseline": 1.001, "drift": 1.5}
+        for i in range(200)
+    }
+    line = bench.compact_artifact_line(art, self_artifact="BENCH_SELF.json")
+    assert len(line) <= bench.COMPACT_LINE_MAX
+    obj = json.loads(line)
+    assert obj["regressions"] == {"count": 200}
+
+
+def test_probe_clean_judged_on_worst_window(monkeypatch, capsys):
+    """ADVICE r09: probe_s is min(pre, post), so a run whose post
+    window caught a load wave used to read probe_clean=true. The flag
+    now judges the WORST window; a single-probe calibration (no
+    pre/post detail) falls back to probe_s."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: 1.0)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: 2.0)
+    monkeypatch.setattr(
+        bench, "_clean_probe_reference",
+        lambda here=None: {"probe_s": 1.0, "stream_probe_s": 2.0,
+                           "derived": False},
+    )
+
+    def flag_for(cal):
+        report_and_gate({"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2, calibration=cal)
+        return json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["probe_clean"]
+
+    # Clean pre window, loaded post window: min() says clean, worst
+    # window says NOT clean.
+    assert flag_for({"probe_s": 1.0, "probe_pre_s": 1.0, "probe_post_s": 1.4,
+                     "stream_probe_s": 2.0}) is False
+    # Both windows clean on both probes -> clean.
+    assert flag_for({"probe_s": 1.0, "probe_pre_s": 1.02, "probe_post_s": 1.0,
+                     "stream_probe_s": 2.0, "stream_probe_pre_s": 2.04,
+                     "stream_probe_post_s": 2.0}) is True
+    # Stream post window loaded -> not clean.
+    assert flag_for({"probe_s": 1.0, "stream_probe_s": 2.0,
+                     "stream_probe_pre_s": 2.0,
+                     "stream_probe_post_s": 2.3}) is False
+    # Fallback: no window detail, judged on probe_s itself.
+    assert flag_for({"probe_s": 1.0, "stream_probe_s": 2.0}) is True
+    assert bench._worst_probe({"probe_s": 0.4}, "probe") == 0.4
+    assert bench._worst_probe(
+        {"probe_s": 0.4, "probe_pre_s": 0.5, "probe_post_s": 0.45}, "probe"
+    ) == 0.5

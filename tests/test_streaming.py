@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from collections import Counter
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -634,8 +635,6 @@ def test_watermarked_flagship_tight_delay_actually_evicts_state(
     # Multisets, not sets (ADVICE r08): the band join may emit
     # duplicate rows, and an eviction that dropped one copy of a
     # duplicate would be invisible to set equality.
-    from collections import Counter
-
     progress: list[dict] = []
     got = Counter(
         tuple(r) for r in run_to_memory(tight, progress_out=progress).collect()
