@@ -1312,10 +1312,11 @@ def probe_clean_flag(
     copies of the two-probe-vs-pins rule could drift apart, making
     the artifact's flag disagree with what the record gate actually
     enforces); the two callers differ only in INPUTS (ADVICE r09):
-    report_and_gate feeds this flag the worst pre/post window
-    (_worst_probe), while the record gate judges the recorded
-    min(pre, post) — so flag-true implies gate-pass, never the
-    reverse. Pure, for Spark-free gate tests."""
+    report_and_gate feeds this flag the scan probe's worst pre/post
+    window (_worst_probe) and the stream probe's settled post window
+    (_settled_stream_probe), while the record gate judges the
+    recorded min(pre, post) — so flag-true implies gate-pass, never
+    the reverse. Pure, for Spark-free gate tests."""
     return (
         baseline_recording_error(
             probe_s,
@@ -1330,17 +1331,20 @@ def probe_clean_flag(
 
 def _worst_probe(calibration: dict, key: str) -> float | None:
     """The WORST (max) of the pre- and post-suite probe windows for
-    ``key`` ('probe' or 'stream_probe'), falling back to the recorded
-    ``{key}_s`` when the per-window values are absent (old artifacts,
-    unit tests that pass a single probe). ADVICE r09: the artifact's
-    ``{key}_s`` is min(pre, post) — judging probe_clean on it marks a
-    run clean when ONE window was quiet even if the other was heavily
-    loaded (SCALING.md r09 run 5 passed 'clean' yet ran 1.049x). The
-    probe_clean flag therefore judges the worst window; the
-    baseline-RECORD gate keeps judging min() (its established
-    protocol: the box was demonstrably clean at probe time, and the
-    recording also needs loadavg evidence), so flag-true implies
-    gate-pass but not vice versa."""
+    ``key``, falling back to the recorded ``{key}_s`` when the
+    per-window values are absent (old artifacts, unit tests that pass
+    a single probe). ADVICE r09: the artifact's ``{key}_s`` is
+    min(pre, post) — judging probe_clean on it marks a run clean when
+    ONE window was quiet even if the other was heavily loaded
+    (SCALING.md r09 run 5 passed 'clean' yet ran 1.049x). Feeds the
+    probe_clean flag's SCAN input only: the scan probe's two windows
+    are symmetric instruments (pre/post both span 0.32-0.42 across
+    every recorded artifact), so the worst of them is honest box-load
+    evidence. The STREAM probe's windows are NOT symmetric — see
+    _settled_stream_probe. The baseline-RECORD gate keeps judging
+    min() (its established protocol: the box was demonstrably clean
+    at probe time, and the recording also needs loadavg evidence), so
+    flag-true implies gate-pass but not vice versa."""
     vals = [
         v
         for v in (calibration.get(f"{key}_pre_s"), calibration.get(f"{key}_post_s"))
@@ -1349,6 +1353,36 @@ def _worst_probe(calibration: dict, key: str) -> float | None:
     if vals:
         return max(vals)
     return calibration.get(f"{key}_s")
+
+
+def _settled_stream_probe(calibration: dict) -> float | None:
+    """The POST-suite window of the stream probe — the settled
+    instrument the probe_clean flag judges the stream family on —
+    falling back to the recorded ``stream_probe_s`` (min of windows)
+    when the post window is absent.
+
+    Why post, not worst-of-windows like the scan probe: the stream
+    PRE window runs immediately after the streaming warmup, while the
+    state-store maintenance threads and micro-batch machinery it just
+    spawned are still draining, and that drain — not box load — sets
+    its floor. Measured: across every artifact that records the
+    windows (r06-r10, 14 runs, including loadavg-0.00 boxes and the
+    r9 driver run judged clean under the old min() rule) the pre
+    window's settle floor is 1.50-1.78 s against the 1.337 s settled
+    pin — it has NEVER read within the 1.05x tolerance, anywhere.
+    Gating probe_clean on worst-of-windows therefore made the flag
+    degenerate (r10: seven strict runs on windows down to loadavg
+    0.01, zero clean — a flag that cannot be true partitions
+    nothing). The post window is the same instrument fully settled;
+    it is >= the recorded min() by construction, so judging it keeps
+    the flag at least as strict as the r9 min() rule while staying
+    satisfiable on a genuinely idle box. The pre window stays in the
+    sidecar artifact as load-arrival evidence (it DOES spike under
+    real waves: 1.78 on the r9 cadence run that read 1.197x)."""
+    v = calibration.get("stream_probe_post_s")
+    if isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0:
+        return v
+    return calibration.get("stream_probe_s")
 
 
 # The driver's stdout tail capture is 2000 characters (measured in
@@ -1650,14 +1684,16 @@ def report_and_gate(
         # calibration probes within BASELINE_MAX_PROBE_RATIO of the
         # clean-box reference — the exact condition the r08 closing
         # campaign used to split its tally into below-baseline
-        # (probe-clean) vs jitter-band (probe-elevated) runs. Judged
-        # on the WORST of the pre/post windows (ADVICE r09): the
-        # recorded probe_s is min(pre, post), which would mark a run
-        # clean when one window was quiet even if the other caught a
-        # mid-suite load wave.
+        # (probe-clean) vs jitter-band (probe-elevated) runs. The scan
+        # probe is judged on the WORST of its pre/post windows (ADVICE
+        # r09: min() marked a run clean when one window was quiet even
+        # if the other caught a mid-suite load wave); the stream probe
+        # on its settled POST window — its pre window is structurally
+        # warmup-confounded and never reads within tolerance even on an
+        # idle box (measured 14/14 artifacts; _settled_stream_probe).
         "probe_clean": probe_clean_flag(
             _worst_probe(calibration, "probe"),
-            _worst_probe(calibration, "stream_probe"),
+            _settled_stream_probe(calibration),
             ref,
         ),
     }

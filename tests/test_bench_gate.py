@@ -1258,8 +1258,13 @@ def test_compact_line_degrades_deterministically_under_pathology():
 def test_probe_clean_judged_on_worst_window(monkeypatch, capsys):
     """ADVICE r09: probe_s is min(pre, post), so a run whose post
     window caught a load wave used to read probe_clean=true. The flag
-    now judges the WORST window; a single-probe calibration (no
-    pre/post detail) falls back to probe_s."""
+    judges the SCAN probe's worst window (symmetric instrument) and
+    the STREAM probe's settled POST window — its pre window is
+    structurally warmup-confounded (measured floor 1.50-1.78 vs the
+    1.337 pin on 14/14 recorded artifacts including idle boxes, so a
+    worst-window stream gate can never pass; r10 deconfound). A
+    single-probe calibration (no pre/post detail) falls back to
+    probe_s / stream_probe_s."""
     monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
     monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
     monkeypatch.setattr(bench, "_baseline_probe", lambda: 1.0)
@@ -1276,21 +1281,42 @@ def test_probe_clean_judged_on_worst_window(monkeypatch, capsys):
             capsys.readouterr().out.strip().splitlines()[-1]
         )["probe_clean"]
 
-    # Clean pre window, loaded post window: min() says clean, worst
-    # window says NOT clean.
+    # Clean scan pre window, loaded scan post window: min() says
+    # clean, worst window says NOT clean.
     assert flag_for({"probe_s": 1.0, "probe_pre_s": 1.0, "probe_post_s": 1.4,
                      "stream_probe_s": 2.0}) is False
     # Both windows clean on both probes -> clean.
     assert flag_for({"probe_s": 1.0, "probe_pre_s": 1.02, "probe_post_s": 1.0,
                      "stream_probe_s": 2.0, "stream_probe_pre_s": 2.04,
                      "stream_probe_post_s": 2.0}) is True
-    # Stream post window loaded -> not clean.
+    # Stream post window loaded -> not clean (post IS the judged
+    # window, and it is >= the recorded min by construction).
     assert flag_for({"probe_s": 1.0, "stream_probe_s": 2.0,
                      "stream_probe_pre_s": 2.0,
                      "stream_probe_post_s": 2.3}) is False
+    # Warmup-confounded stream PRE window with a settled clean post:
+    # clean — the exact shape every idle-box run records (r10: pre
+    # 1.5-1.66 vs pin 1.337 on loadavg-0.00 windows), which a
+    # worst-window stream gate mis-read as load.
+    assert flag_for({"probe_s": 1.0, "probe_pre_s": 1.0, "probe_post_s": 1.0,
+                     "stream_probe_s": 2.0, "stream_probe_pre_s": 2.4,
+                     "stream_probe_post_s": 2.02}) is True
     # Fallback: no window detail, judged on probe_s itself.
     assert flag_for({"probe_s": 1.0, "stream_probe_s": 2.0}) is True
     assert bench._worst_probe({"probe_s": 0.4}, "probe") == 0.4
     assert bench._worst_probe(
         {"probe_s": 0.4, "probe_pre_s": 0.5, "probe_post_s": 0.45}, "probe"
     ) == 0.5
+    # _settled_stream_probe: post window when present, else the
+    # recorded scalar; junk post values fall through.
+    assert bench._settled_stream_probe(
+        {"stream_probe_s": 1.3, "stream_probe_pre_s": 1.6,
+         "stream_probe_post_s": 1.35}
+    ) == 1.35
+    assert bench._settled_stream_probe({"stream_probe_s": 1.3}) == 1.3
+    assert bench._settled_stream_probe(
+        {"stream_probe_s": 1.3, "stream_probe_post_s": True}
+    ) == 1.3
+    assert bench._settled_stream_probe(
+        {"stream_probe_s": 1.3, "stream_probe_post_s": 0.0}
+    ) == 1.3
