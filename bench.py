@@ -1329,6 +1329,22 @@ def probe_clean_flag(
     )
 
 
+def _pos_num(v) -> bool:
+    """True iff ``v`` is a positive finite number and not a JSON
+    boolean — the one probe-value validity predicate, shared by the
+    window pickers below so it cannot drift between them (review:
+    it existed twice three lines apart, and the fallback scalar
+    skipped it entirely — a junk recorded probe_s of True or a
+    negative value sailed into probe_clean_flag where a negative
+    ratio compares 'clean')."""
+    return (
+        isinstance(v, (int, float))
+        and not isinstance(v, bool)
+        and math.isfinite(v)
+        and v > 0
+    )
+
+
 def _worst_probe(calibration: dict, key: str) -> float | None:
     """The WORST (max) of the pre- and post-suite probe windows for
     ``key``, falling back to the recorded ``{key}_s`` when the
@@ -1348,11 +1364,12 @@ def _worst_probe(calibration: dict, key: str) -> float | None:
     vals = [
         v
         for v in (calibration.get(f"{key}_pre_s"), calibration.get(f"{key}_post_s"))
-        if isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0
+        if _pos_num(v)
     ]
     if vals:
         return max(vals)
-    return calibration.get(f"{key}_s")
+    fallback = calibration.get(f"{key}_s")
+    return fallback if _pos_num(fallback) else None
 
 
 def _settled_stream_probe(calibration: dict) -> float | None:
@@ -1380,9 +1397,10 @@ def _settled_stream_probe(calibration: dict) -> float | None:
     sidecar artifact as load-arrival evidence (it DOES spike under
     real waves: 1.78 on the r9 cadence run that read 1.197x)."""
     v = calibration.get("stream_probe_post_s")
-    if isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0:
+    if _pos_num(v):
         return v
-    return calibration.get("stream_probe_s")
+    fallback = calibration.get("stream_probe_s")
+    return fallback if _pos_num(fallback) else None
 
 
 # The driver's stdout tail capture is 2000 characters (measured in
@@ -1409,8 +1427,12 @@ def compact_artifact_line(artifact: dict, self_artifact: str | None = None) -> s
     (pathological regression/retry maps), degrade deterministically —
     drop the per-query map, then the trimmed calibration, then
     compress regressions to per-query now/baseline ratios, then to a
-    count — so regressions stay visible in SOME form and the line
-    ALWAYS fits the tail capture."""
+    count, then shed the remaining optional blocks (reps_overrides,
+    comparable) — so regressions stay visible in SOME form and the
+    line ALWAYS fits the tail capture (review: the ladder used to
+    stop after the count step without re-checking, leaving the
+    'always fits' claim unenforced against growth in the fields it
+    never dropped)."""
     calibration = artifact.get("calibration") or {}
     trimmed_cal = {
         k: v
@@ -1456,7 +1478,21 @@ def compact_artifact_line(artifact: dict, self_artifact: str | None = None) -> s
         return line
     compact["regressions"] = {"count": len(regressions)}
     compact["retried"] = {"count": len(compact.get("retried") or {})}
-    return json.dumps(compact)
+    line = json.dumps(compact)
+    if len(line) <= COMPACT_LINE_MAX:
+        return line
+    # Last resort: shed the optional blocks the earlier rungs never
+    # touched (a reps_overrides floor map or comparable block that
+    # grew across rounds), keeping the scalar core — metric, value,
+    # probe_clean, the regression/retry counts, the sidecar pointer —
+    # which fits by construction (test-pinned with every dict field
+    # at pathological size).
+    for drop in ("reps_overrides", "comparable"):
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+        if len(line) <= COMPACT_LINE_MAX:
+            return line
+    return line
 
 
 def shutdown_spark(spark) -> None:
@@ -1521,6 +1557,13 @@ def _write_self_artifact(artifact: dict, here: str | None = None) -> str | None:
         )
         with os.fdopen(fd, "w") as f:
             f.write(payload)
+        # mkstemp creates 0600 and os.replace carries that mode onto
+        # the sidecar — an evidence file another user (CI collector,
+        # the round driver) must be able to read. Restore the
+        # umask-default bits the old open(path, 'w') honored (review:
+        # the ADVICE-r09 unique-temp-name fix silently narrowed the
+        # published file's permissions).
+        os.chmod(tmp, 0o644)
         os.replace(tmp, path)
         return path
     except Exception as e:
@@ -1531,7 +1574,18 @@ def _write_self_artifact(artifact: dict, here: str | None = None) -> str | None:
                 os.unlink(tmp)
             except OSError:
                 pass
-        print(f"# SELF ARTIFACT write failed ({e}) — stdout only", file=sys.stderr)
+        # Since the stdout line went compact (r10), the sidecar is the
+        # ONLY complete copy — on failure, preserve the full artifact
+        # on stderr so the probe windows/series and load detail that
+        # adjudicate drift are not lost with it (review: the old
+        # 'stdout only' message described the pre-compact behavior,
+        # when stdout still carried everything).
+        print(f"# SELF ARTIFACT write failed ({e}) — full artifact follows on stderr",
+              file=sys.stderr)
+        try:
+            print("# FULL ARTIFACT: " + json.dumps(artifact), file=sys.stderr)
+        except Exception:
+            pass
         return None
 
 

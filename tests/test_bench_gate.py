@@ -1253,6 +1253,62 @@ def test_compact_line_degrades_deterministically_under_pathology():
     assert len(line) <= bench.COMPACT_LINE_MAX
     obj = json.loads(line)
     assert obj["regressions"] == {"count": 200}
+    # Final rung (review): with EVERY dict field at pathological size
+    # — a reps_overrides floor map and comparable block grown across
+    # rounds on top of the 200-name regression map — the ladder sheds
+    # the optional blocks and the scalar core still fits; the counts
+    # survive as the regression evidence.
+    art["reps_overrides"] = {
+        f"query_with_a_very_long_generated_name_{i:04d}": 5 for i in range(200)
+    }
+    art["comparable"] = {f"audit_field_with_a_long_name_{i:03d}": 1.0
+                         for i in range(100)}
+    line = bench.compact_artifact_line(art, self_artifact="BENCH_SELF.json")
+    assert len(line) <= bench.COMPACT_LINE_MAX
+    obj = json.loads(line)
+    assert obj["regressions"] == {"count": 200}
+    assert obj["retried"] == {"count": len(bench.HEADLINE)}
+    assert obj["value"] == 23.906 and obj["probe_clean"] is True
+    assert obj["self_artifact"] == "BENCH_SELF.json"
+
+
+def test_self_artifact_mode_and_failure_fallback(tmp_path, monkeypatch, capsys):
+    """Review findings ×2: (1) mkstemp creates 0600 and os.replace
+    would publish the sidecar unreadable to other users (CI artifact
+    collectors, the round driver) — the write must restore 0644;
+    (2) with the compact stdout line the sidecar is the ONLY complete
+    copy, so a failed write must preserve the full artifact on stderr
+    instead of losing the probe windows/load detail entirely."""
+    dst = tmp_path / "SELF.json"
+    monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(dst))
+    art = _representative_artifact()
+    assert bench._write_self_artifact(art) == str(dst)
+    assert (os.stat(dst).st_mode & 0o777) == 0o644
+    assert json.loads(dst.read_text()) == art
+    # Unwritable destination (the "directory" is a file — chmod-based
+    # denial doesn't bite when tests run as root) -> None and the
+    # full artifact lands on stderr.
+    not_a_dir = tmp_path / "not_a_dir"
+    not_a_dir.write_text("occupied")
+    monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(not_a_dir / "SELF.json"))
+    assert bench._write_self_artifact(art) is None
+    err = capsys.readouterr().err
+    assert "write failed" in err
+    full = [ln for ln in err.splitlines() if ln.startswith("# FULL ARTIFACT: ")]
+    assert len(full) == 1
+    assert json.loads(full[0][len("# FULL ARTIFACT: "):]) == art
+
+
+def test_probe_pickers_reject_junk_fallback_scalars():
+    """Review: the windowed paths validated pre/post values but both
+    fallbacks passed the recorded scalar through unvalidated — a
+    junk probe_s (JSON true, a negative, inf) reached probe_clean_flag
+    where a negative ratio compares 'clean'."""
+    for junk in (True, -1.0, 0, float("inf"), float("nan"), "fast"):
+        assert bench._worst_probe({"probe_s": junk}, "probe") is None
+        assert bench._settled_stream_probe({"stream_probe_s": junk}) is None
+    assert bench._worst_probe({}, "probe") is None
+    assert bench._settled_stream_probe({}) is None
 
 
 def test_probe_clean_judged_on_worst_window(monkeypatch, capsys):
