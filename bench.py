@@ -198,7 +198,17 @@ def _clean_probe_reference(here: str | None = None) -> dict:
 # compile bandwidth), while the steady state sits at the 1.86 s
 # baseline. Five reps reach the curve's flat tail; the artifact's
 # `timing` field + reps_overrides record the protocol difference.
-QUERY_REPS = {"dedup_minhash_lsh": 5}
+#
+# stedi_flagship_join (r11): same under-sampling, milder curve — the
+# r11 idle-window solo series (SCALING.md r11) read 3.57 → 2.37 →
+# 2.21 → 2.10 → 2.03 s with the flat tail at 2.03-2.18 s (= the
+# 2.057 s baseline; scan probe at 0.98x of its recorded twin), so
+# best-of-3 samples a tail 8-15% above the floor and has no spare rep
+# to dodge a transient: the r9/r10 driver artifacts read 1.26x/1.65x
+# on best-of-3 while every idle solo floor and the 20-run campaign
+# sat at/below baseline. Five reps reach the flat tail and buy two
+# dodge reps for ~4 s of (untimed-budget) wall.
+QUERY_REPS = {"dedup_minhash_lsh": 5, "stedi_flagship_join": 5}
 
 
 def _probe_settled(
@@ -960,9 +970,72 @@ def wait_for_idle(
     return out
 
 
+# Opt-in tmp janitor (VERDICT r10 item 6). The package's wire caches
+# are session-lifetime by design and checkpoints clean themselves via
+# the deferred-release path — the orphans are what KILLED processes
+# leave behind (SCALING.md r10 counted 3,081 dirs / 2.3 GB across ten
+# rounds; A/B-proven perf-irrelevant, but a long-lived box would
+# eventually fill its disk). Age bar: anything from a live run is
+# hours old at most; a day-old ehb-* dir has no owner.
+TMP_SWEEP_MAX_AGE_S = 24 * 3600.0
+
+
+def sweep_orphan_tmp(
+    env: dict | None = None,
+    tmp_dir: str | None = None,
+    now: float | None = None,
+    max_age_s: float = TMP_SWEEP_MAX_AGE_S,
+) -> dict | None:
+    """When SPARK_GRAFT_SWEEP_TMP=1, delete ``ehb-*`` DIRECTORIES under
+    the system temp dir whose mtime is older than ``max_age_s``;
+    return {"swept": n, "kept": m, "errors": e} evidence (None when
+    not enabled — the default: a janitor that deletes other processes'
+    scratch must be asked for). Runs before the idle wait, outside all
+    timed code. Symlinks and plain files are never touched (an
+    attacker-planted ``ehb-`` symlink must not turn the sweep into an
+    arbitrary-tree delete), and per-entry failures count as errors
+    rather than aborting the run — the janitor is hygiene, not a
+    gate."""
+    env = os.environ if env is None else env
+    if (env.get("SPARK_GRAFT_SWEEP_TMP") or "").strip() != "1":
+        return None
+    import shutil
+
+    tmp_dir = tmp_dir or tempfile.gettempdir()
+    now = time.time() if now is None else now
+    out = {"swept": 0, "kept": 0, "errors": 0}
+    try:
+        entries = list(os.scandir(tmp_dir))
+    except OSError:
+        out["errors"] += 1
+        return out
+    for entry in entries:
+        if not entry.name.startswith("ehb-"):
+            continue
+        try:
+            if not entry.is_dir(follow_symlinks=False):
+                out["kept"] += 1
+                continue
+            age = now - entry.stat(follow_symlinks=False).st_mtime
+            if age <= max_age_s:
+                out["kept"] += 1
+                continue
+            shutil.rmtree(entry.path)
+            out["swept"] += 1
+        except OSError:
+            out["errors"] += 1
+    print(
+        f"# SWEEP_TMP: removed {out['swept']} orphaned ehb-* dirs "
+        f"(kept {out['kept']}, errors {out['errors']}) under {tmp_dir}",
+        file=sys.stderr,
+    )
+    return out
+
+
 def main() -> int:
     if os.environ.get("SPARK_GRAFT_DERIVE_CLEAN_PROBE"):
         return derive_clean_probe()
+    sweep_orphan_tmp()
     idle_wait = wait_for_idle(idle_wait_budget_s())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -1361,14 +1434,29 @@ def _worst_probe(calibration: dict, key: str) -> float | None:
     min() (its established protocol: the box was demonstrably clean
     at probe time, and the recording also needs loadavg evidence), so
     flag-true implies gate-pass but not vice versa."""
-    vals = [
+    windows = [
         v
         for v in (calibration.get(f"{key}_pre_s"), calibration.get(f"{key}_post_s"))
-        if _pos_num(v)
+        if v is not None
     ]
-    if vals:
-        return max(vals)
+    valid = [v for v in windows if _pos_num(v)]
     fallback = calibration.get(f"{key}_s")
+    if len(valid) < len(windows):
+        # ADVICE r10: a PRESENT-but-junk window (JSON true, a negative)
+        # is corrupt evidence, not absence — returning the lone quiet
+        # window would let it mark the run clean, and if the recorded
+        # scalar exceeded that survivor the documented 'flag-true
+        # implies gate-pass' invariant would break. Fold the recorded
+        # scalar in and judge the max of scalar + surviving windows;
+        # without a valid scalar to anchor that invariant (the record
+        # gate judges the scalar and would itself refuse a junk one)
+        # the probe is missing (no evidence is not evidence of
+        # idleness).
+        if not _pos_num(fallback):
+            return None
+        return max(valid + [fallback])
+    if valid:
+        return max(valid)
     return fallback if _pos_num(fallback) else None
 
 
@@ -1426,13 +1514,16 @@ def compact_artifact_line(artifact: dict, self_artifact: str | None = None) -> s
     If the serialized line would still exceed COMPACT_LINE_MAX
     (pathological regression/retry maps), degrade deterministically —
     drop the per-query map, then the trimmed calibration, then
-    compress regressions to per-query now/baseline ratios, then to a
-    count, then shed the remaining optional blocks (reps_overrides,
-    comparable) — so regressions stay visible in SOME form and the
-    line ALWAYS fits the tail capture (review: the ladder used to
-    stop after the count step without re-checking, leaving the
-    'always fits' claim unenforced against growth in the fields it
-    never dropped)."""
+    compress regressions to per-query now/baseline ratios, then to
+    counts under DISTINCT ``regressions_count`` / ``retried_count``
+    keys (ADVICE r10: the old in-band ``{"count": N}`` under the
+    original keys was ambiguous with a query named "count" and
+    injected a phantom retried block), then shed the remaining
+    optional blocks (reps_overrides, comparable) — so regressions
+    stay visible in SOME form and the line ALWAYS fits the tail
+    capture (review: the ladder used to stop after the count step
+    without re-checking, leaving the 'always fits' claim unenforced
+    against growth in the fields it never dropped)."""
     calibration = artifact.get("calibration") or {}
     trimmed_cal = {
         k: v
@@ -1468,16 +1559,28 @@ def compact_artifact_line(artifact: dict, self_artifact: str | None = None) -> s
         if len(line) <= COMPACT_LINE_MAX:
             return line
     regressions = compact.get("regressions") or {}
-    compact["regressions"] = {
-        name: round(r["now"] / r["baseline"], 2) if r.get("baseline") else r.get("now")
-        for name, r in regressions.items()
-        if isinstance(r, dict)
-    }
+    if "regressions" in compact:
+        compact["regressions"] = {
+            name: round(r["now"] / r["baseline"], 2)
+            if r.get("baseline")
+            else r.get("now")
+            for name, r in regressions.items()
+            if isinstance(r, dict)
+        }
     line = json.dumps(compact)
     if len(line) <= COMPACT_LINE_MAX:
         return line
-    compact["regressions"] = {"count": len(regressions)}
-    compact["retried"] = {"count": len(compact.get("retried") or {})}
+    # Count rung: DISTINCT key names (ADVICE r10) — the old in-band
+    # {"count": N} under the original keys was indistinguishable from
+    # a query literally named "count", and an artifact with no
+    # retried key gained a phantom retried={"count": 0}. The *_count
+    # keys only ever appear on this rung and below, and only for
+    # fields the artifact actually carried.
+    if "regressions" in compact:
+        compact.pop("regressions")
+        compact["regressions_count"] = len(regressions)
+    if "retried" in compact:
+        compact["retried_count"] = len(compact.pop("retried") or {})
     line = json.dumps(compact)
     if len(line) <= COMPACT_LINE_MAX:
         return line
@@ -1559,10 +1662,11 @@ def _write_self_artifact(artifact: dict, here: str | None = None) -> str | None:
             f.write(payload)
         # mkstemp creates 0600 and os.replace carries that mode onto
         # the sidecar — an evidence file another user (CI collector,
-        # the round driver) must be able to read. Restore the
-        # umask-default bits the old open(path, 'w') honored (review:
-        # the ADVICE-r09 unique-temp-name fix silently narrowed the
-        # published file's permissions).
+        # the round driver) must be able to read. 0644 is DELIBERATE,
+        # not umask-derived (ADVICE r10: the old comment claimed this
+        # restored umask defaults, which under umask 077 it widens):
+        # the sidecar exists precisely to be read cross-user, and it
+        # carries timings, not secrets.
         os.chmod(tmp, 0o644)
         os.replace(tmp, path)
         return path
@@ -1579,13 +1683,32 @@ def _write_self_artifact(artifact: dict, here: str | None = None) -> str | None:
         # on stderr so the probe windows/series and load detail that
         # adjudicate drift are not lost with it (review: the old
         # 'stdout only' message described the pre-compact behavior,
-        # when stdout still carried everything).
-        print(f"# SELF ARTIFACT write failed ({e}) — full artifact follows on stderr",
-              file=sys.stderr)
+        # when stdout still carried everything). Serialize BEFORE
+        # announcing the dump (ADVICE r10): when the write failed
+        # precisely because the artifact is unserializable, the old
+        # order printed 'follows on stderr' and then nothing followed
+        # — the message lied and the evidence was still lost. repr()
+        # is the fallback payload: lossy but greppable.
         try:
-            print("# FULL ARTIFACT: " + json.dumps(artifact), file=sys.stderr)
+            payload = json.dumps(artifact)
         except Exception:
-            pass
+            try:
+                payload = repr(artifact)
+            except Exception:
+                payload = None
+        if payload is not None:
+            print(
+                f"# SELF ARTIFACT write failed ({e}) — full artifact "
+                "follows on stderr",
+                file=sys.stderr,
+            )
+            print("# FULL ARTIFACT: " + payload, file=sys.stderr)
+        else:
+            print(
+                f"# SELF ARTIFACT write failed ({e}); artifact is also "
+                "unserializable — evidence lost",
+                file=sys.stderr,
+            )
         return None
 
 
@@ -1618,7 +1741,13 @@ def report_and_gate(
     sorted name list under the same key); `reps_overrides` (the
     QUERY_REPS floor map) appeared in r05; the stream_* calibration
     keys and credited_drift_stream appeared in r06 — external tooling
-    diffing artifacts across rounds must handle all shapes. Split from
+    diffing artifacts across rounds must handle all shapes. The
+    compact STDOUT line (r10+) is a subset of this artifact with two
+    degraded shape variants of its own (ADVICE r10): under length
+    pressure `regressions` first becomes a name→ratio map, then
+    `regressions`/`retried` are REPLACED by scalar
+    `regressions_count`/`retried_count` keys (never both forms at
+    once; the sidecar always carries the full maps). Split from
     main() so the gate is unit-testable without a Spark session."""
     baseline = _baseline_timings()
     calibration = dict(calibration or {})
@@ -1631,6 +1760,24 @@ def report_and_gate(
         sprobe_base,
     )
     drift = drifts["batch"]
+    # TWO idle-box references coexist here, deliberately (VERDICT r10
+    # item 3 — a clean run carrying a 1.14x credit read as double-speak
+    # without this distinction being spelled out):
+    #   - credited_drift is WINDOW-RELATIVE: it divides this run's
+    #     probe by the probe recorded WITH the frozen baseline
+    #     (baseline_s, 0.335) — "how much slower is this box than the
+    #     box the per-query baselines were timed on", the only ratio
+    #     that fairly widens those baselines' bars.
+    #   - probe_clean is BOX-ABSOLUTE: it judges against the clean-box
+    #     pins (CLEAN_PROBE_S-family, 0.454/1.337) — "is this box
+    #     idle by the build's cross-round standard".
+    # The baseline's own probe window was unusually fast (0.335 =
+    # 26% below the clean pin), so a genuinely idle run can read
+    # probe_clean=true AND carry ~1.1x credited drift at once — both
+    # statements are true, about different references. The
+    # drift_vs_clean_pin twins below put the box-absolute ratio in
+    # the artifact so it self-explains (uncapped/unfloored: they are
+    # explanatory, never a credit).
     calibration["baseline_s"] = probe_base
     if calibration.get("probe_s") and probe_base:
         calibration["raw_ratio"] = round(calibration["probe_s"] / probe_base, 3)
@@ -1641,6 +1788,17 @@ def report_and_gate(
             calibration["stream_probe_s"] / sprobe_base, 3
         )
     calibration["credited_drift_stream"] = round(drifts["stream"], 3)
+    clean_ref = _clean_probe_reference()
+    if _pos_num(calibration.get("probe_s")) and _pos_num(clean_ref.get("probe_s")):
+        calibration["drift_vs_clean_pin"] = round(
+            calibration["probe_s"] / clean_ref["probe_s"], 3
+        )
+    if _pos_num(calibration.get("stream_probe_s")) and _pos_num(
+        clean_ref.get("stream_probe_s")
+    ):
+        calibration["stream_drift_vs_clean_pin"] = round(
+            calibration["stream_probe_s"] / clean_ref["stream_probe_s"], 3
+        )
     regressions = find_regressions(timings, baseline, drifts)
     if _FAMILY_REGISTRY_FALLBACK:
         # query_family lost the registry at some point this process
@@ -1654,7 +1812,7 @@ def report_and_gate(
     # someone attempts a recording — the judge can see from the
     # artifact alone whether the pinned constants or a portable
     # derivation are in force.
-    ref = _clean_probe_reference()
+    ref = clean_ref
     calibration["clean_probe"] = {
         "probe_s": ref["probe_s"],
         "stream_probe_s": ref["stream_probe_s"],

@@ -1192,7 +1192,7 @@ def _representative_artifact() -> dict:
                        "credited_drift_stream": 1.096},
         "regressions": {},
         "retried": {"dedup_minhash_lsh": 8, "stream_session_quality": 6},
-        "reps_overrides": {"dedup_minhash_lsh": 5},
+        "reps_overrides": {"dedup_minhash_lsh": 5, "stedi_flagship_join": 5},
         "probe_clean": True,
     }
 
@@ -1243,7 +1243,10 @@ def test_compact_line_degrades_deterministically_under_pathology():
     obj = json.loads(line)
     assert obj["regressions"]  # never silently dropped
     assert obj["value"] == 23.906 and obj["probe_clean"] is True
-    # Absurd worst case: regressions collapse to a count, line still fits.
+    # Absurd worst case: regressions collapse to a count under the
+    # DISTINCT regressions_count key (ADVICE r10: the in-band
+    # {"count": N} shape was ambiguous with a query named "count"),
+    # line still fits; the replaced map keys are gone.
     art["regressions"] = {
         f"query_with_a_very_long_generated_name_{i:04d}": {
             "now": 99.123, "baseline": 1.001, "drift": 1.5}
@@ -1252,7 +1255,8 @@ def test_compact_line_degrades_deterministically_under_pathology():
     line = bench.compact_artifact_line(art, self_artifact="BENCH_SELF.json")
     assert len(line) <= bench.COMPACT_LINE_MAX
     obj = json.loads(line)
-    assert obj["regressions"] == {"count": 200}
+    assert obj["regressions_count"] == 200
+    assert "regressions" not in obj
     # Final rung (review): with EVERY dict field at pathological size
     # — a reps_overrides floor map and comparable block grown across
     # rounds on top of the 200-name regression map — the ladder sheds
@@ -1266,10 +1270,20 @@ def test_compact_line_degrades_deterministically_under_pathology():
     line = bench.compact_artifact_line(art, self_artifact="BENCH_SELF.json")
     assert len(line) <= bench.COMPACT_LINE_MAX
     obj = json.loads(line)
-    assert obj["regressions"] == {"count": 200}
-    assert obj["retried"] == {"count": len(bench.HEADLINE)}
+    assert obj["regressions_count"] == 200
+    assert obj["retried_count"] == len(bench.HEADLINE)
+    assert "regressions" not in obj and "retried" not in obj
     assert obj["value"] == 23.906 and obj["probe_clean"] is True
     assert obj["self_artifact"] == "BENCH_SELF.json"
+    # The count keys are presence-conditional (ADVICE r10: an artifact
+    # with no retried key used to GAIN retried={"count": 0} on this
+    # rung) — with retried absent, no phantom retried_count appears.
+    art.pop("retried")
+    obj = json.loads(
+        bench.compact_artifact_line(art, self_artifact="BENCH_SELF.json")
+    )
+    assert obj["regressions_count"] == 200
+    assert "retried" not in obj and "retried_count" not in obj
 
 
 def test_self_artifact_mode_and_failure_fallback(tmp_path, monkeypatch, capsys):
@@ -1297,6 +1311,122 @@ def test_self_artifact_mode_and_failure_fallback(tmp_path, monkeypatch, capsys):
     full = [ln for ln in err.splitlines() if ln.startswith("# FULL ARTIFACT: ")]
     assert len(full) == 1
     assert json.loads(full[0][len("# FULL ARTIFACT: "):]) == art
+
+
+def test_self_artifact_unserializable_failure_is_honest(
+    tmp_path, monkeypatch, capsys
+):
+    """ADVICE r10: when the write failed because the artifact itself is
+    unserializable, the old order printed 'full artifact follows on
+    stderr' and then the inner json.dumps ALSO failed silently — the
+    message lied. Now the payload is serialized first (repr fallback),
+    so a dump only gets announced when one will actually be emitted."""
+    monkeypatch.setenv("SPARK_GRAFT_SELF_ARTIFACT", str(tmp_path / "SELF.json"))
+    art = {"metric": "x", "value": object()}  # json.dumps raises TypeError
+    assert bench._write_self_artifact(art) is None
+    err = capsys.readouterr().err
+    assert "write failed" in err
+    # The repr fallback payload really follows the announcement.
+    full = [ln for ln in err.splitlines() if ln.startswith("# FULL ARTIFACT: ")]
+    assert len(full) == 1 and "'metric': 'x'" in full[0]
+
+
+def test_worst_probe_junk_window_cannot_hide_behind_quiet_one():
+    """ADVICE r10: with exactly one valid window and one PRESENT-but-
+    junk window, _worst_probe used to return the lone valid window —
+    a corrupt loaded window let the quiet one mark the run clean, and
+    a recorded scalar above the survivor broke the 'flag-true implies
+    gate-pass' invariant. Junk windows now fold the recorded scalar
+    back in (max), and with nothing valid left the probe is missing,
+    not clean."""
+    # Quiet valid pre + junk post + larger recorded scalar: the scalar
+    # must win (gate judges it; the flag may not read below the gate).
+    assert bench._worst_probe(
+        {"probe_s": 0.5, "probe_pre_s": 0.35, "probe_post_s": True}, "probe"
+    ) == 0.5
+    # Junk window with the surviving window ABOVE the scalar: keep the
+    # worse (max) of the two.
+    assert bench._worst_probe(
+        {"probe_s": 0.4, "probe_pre_s": -3.0, "probe_post_s": 0.6}, "probe"
+    ) == 0.6
+    # Junk window and junk scalar: no evidence is not evidence of
+    # idleness.
+    assert bench._worst_probe(
+        {"probe_s": True, "probe_pre_s": 0.35, "probe_post_s": float("nan")},
+        "probe",
+    ) is None
+    # Both windows ABSENT (old artifacts) still falls back to the
+    # scalar; one absent window with one valid is partial-but-honest
+    # evidence, unchanged.
+    assert bench._worst_probe({"probe_s": 0.4}, "probe") == 0.4
+    assert bench._worst_probe({"probe_s": 0.4, "probe_post_s": 0.37}, "probe") == 0.37
+
+
+def test_artifact_carries_drift_vs_clean_pin(monkeypatch, capsys):
+    """VERDICT r10 item 3: credited_drift is window-relative (divides
+    by the probe recorded WITH the frozen baseline) while probe_clean
+    is box-absolute (judges the clean pins) — so a genuinely idle run
+    can carry a 1.1x credit AND read clean. The calibration block now
+    carries the box-absolute ratio too, so the artifact self-explains
+    the pairing."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: 0.335)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: 1.337)
+    monkeypatch.setattr(
+        bench, "_clean_probe_reference",
+        lambda here=None: {"probe_s": 0.454, "stream_probe_s": 1.337,
+                           "derived": False},
+    )
+    report_and_gate(
+        {"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2,
+        calibration={"probe_s": 0.383, "stream_probe_s": 1.273},
+    )
+    cal = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["calibration"]
+    # The exact r10 driver-artifact pairing: 1.143x credited drift on
+    # a box 16% BELOW the clean pin.
+    assert cal["credited_drift"] == 1.143
+    assert cal["drift_vs_clean_pin"] == 0.844
+    assert cal["stream_drift_vs_clean_pin"] == 0.952
+    # Missing probe -> no pin ratio rather than a junk division.
+    report_and_gate({"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2, calibration={})
+    cal = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["calibration"]
+    assert "drift_vs_clean_pin" not in cal
+    assert "stream_drift_vs_clean_pin" not in cal
+
+
+def test_sweep_orphan_tmp_is_opt_in_and_age_gated(tmp_path):
+    """VERDICT r10 item 6: ten rounds of killed processes left 3,081
+    orphaned /tmp/ehb-* dirs (2.3 GB). The janitor only runs when
+    asked (SPARK_GRAFT_SWEEP_TMP=1), only deletes ehb-* DIRECTORIES
+    older than the age bar, and never follows symlinks."""
+    old = tmp_path / "ehb-ckpt-old"
+    old.mkdir()
+    os.utime(old, (0, 0))  # epoch mtime — ancient
+    fresh = tmp_path / "ehb-stream-fresh"
+    fresh.mkdir()
+    other = tmp_path / "not-ehb-old"
+    other.mkdir()
+    os.utime(other, (0, 0))
+    plain = tmp_path / "ehb-plain-file"
+    plain.write_text("x")
+    os.utime(plain, (0, 0))
+    link = tmp_path / "ehb-sneaky-link"
+    link.symlink_to(other)
+    # Default: not enabled -> None, nothing touched.
+    assert bench.sweep_orphan_tmp(env={}, tmp_dir=str(tmp_path)) is None
+    assert old.exists()
+    out = bench.sweep_orphan_tmp(
+        env={"SPARK_GRAFT_SWEEP_TMP": "1"}, tmp_dir=str(tmp_path)
+    )
+    assert out == {"swept": 1, "kept": 3, "errors": 0}
+    assert not old.exists()
+    assert fresh.exists() and other.exists() and plain.exists()
+    assert link.is_symlink() and other.exists()  # symlink never followed
 
 
 def test_probe_pickers_reject_junk_fallback_scalars():
