@@ -545,6 +545,21 @@ def _baseline_stream_probe(here: str | None = None) -> float | None:
     return _baseline_calibration_value("stream_probe_s", here)
 
 
+def _baseline_sf(here: str | None = None) -> float | None:
+    """The scale factor the recorded baselines were timed at (same
+    precedence walk; None on pre-sf artifacts). Review r11: nothing
+    compared the run's sf to the baseline's, so an sf0.001 run's
+    `comparable` block cheerfully read a bogus 0.76x 'improvement'
+    against the sf0.1 baseline and the per-query gate passed
+    vacuously against 100x more data."""
+    sf = None
+    for art in _baseline_artifacts(here):
+        v = art.get("sf")
+        if isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0:
+            sf = v
+    return sf
+
+
 def credited_drift(probe_now: float | None, probe_base: float | None) -> float:
     """Environmental drift credited to every per-query bar: the probe
     ratio, floored at 1.0 (a faster box never loosens the bar) and
@@ -975,8 +990,14 @@ def wait_for_idle(
 # the deferred-release path — the orphans are what KILLED processes
 # leave behind (SCALING.md r10 counted 3,081 dirs / 2.3 GB across ten
 # rounds; A/B-proven perf-irrelevant, but a long-lived box would
-# eventually fill its disk). Age bar: anything from a live run is
-# hours old at most; a day-old ehb-* dir has no owner.
+# eventually fill its disk). Age bar: a day-old ehb-* dir has no
+# owner ON A BOX WHERE SESSIONS ARE SHORT-LIVED — the bar reads the
+# dir's own mtime, which for a wire cache is its creation time
+# (caches are written once, then only READ, and reads update
+# nothing), so a single Spark session deliberately kept alive >24h
+# would see its in-use scratch swept (review r11). That is why the
+# janitor is opt-in: leave it off on a box running day-spanning
+# sessions.
 TMP_SWEEP_MAX_AGE_S = 24 * 3600.0
 
 
@@ -1007,8 +1028,11 @@ def sweep_orphan_tmp(
     try:
         entries = list(os.scandir(tmp_dir))
     except OSError:
+        # Still emit the evidence line (review r11: the early return
+        # skipped it, so an enabled-but-failed sweep looked like one
+        # that never ran).
         out["errors"] += 1
-        return out
+        entries = []
     for entry in entries:
         if not entry.name.startswith("ehb-"):
             continue
@@ -1035,7 +1059,7 @@ def sweep_orphan_tmp(
 def main() -> int:
     if os.environ.get("SPARK_GRAFT_DERIVE_CLEAN_PROBE"):
         return derive_clean_probe()
-    sweep_orphan_tmp()
+    sweep = sweep_orphan_tmp()
     idle_wait = wait_for_idle(idle_wait_budget_s())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -1215,6 +1239,12 @@ def main() -> int:
         "cpus": os.cpu_count(),
         "idle_wait": idle_wait,
     }
+    if sweep is not None:
+        # The sweep ran before the idle wait, outside all timed code —
+        # record its evidence like idle_wait's (review r11: main()
+        # used to drop the returned dict, so the artifact could not
+        # show whether a janitor pass preceded the suite).
+        load["sweep_tmp"] = sweep
     return report_and_gate(
         timings,
         round(total, 3),
@@ -1336,6 +1366,28 @@ def maybe_record_baseline(artifact: dict, here: str | None = None) -> int:
         return 0
     here = here or os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "BENCH_BASELINE.json")
+    # A recording at a different scale factor than the standing
+    # baseline silently re-anchors every per-query bar to a different
+    # workload (review r11: an sf0.001 run would have recorded 15 s
+    # "baselines" for sf0.1 queries). Scale changes ride the same
+    # loud path as hardware changes: FORCE, which still demands an
+    # idle box below.
+    base_sf = _baseline_sf(here)
+    art_sf = artifact.get("sf")
+    if (
+        base_sf
+        and art_sf
+        and art_sf != base_sf
+        and not os.environ.get("SPARK_GRAFT_BASELINE_FORCE")
+    ):
+        print(
+            f"# BASELINE REFUSED: recording at sf={art_sf} against a "
+            f"standing sf={base_sf} baseline re-anchors every "
+            "per-query bar to a different workload; use "
+            "SPARK_GRAFT_BASELINE_FORCE=1 for a deliberate scale move",
+            file=sys.stderr,
+        )
+        return 1
     cal = artifact.get("calibration") or {}
     ref = _clean_probe_reference(here)
     err = baseline_recording_error(
@@ -1777,7 +1829,11 @@ def report_and_gate(
     # statements are true, about different references. The
     # drift_vs_clean_pin twins below put the box-absolute ratio in
     # the artifact so it self-explains (uncapped/unfloored: they are
-    # explanatory, never a credit).
+    # explanatory, never a credit), computed from the SAME windows
+    # probe_clean judges — worst scan window, settled stream post
+    # (review: computing them from the recorded min() let a run read
+    # vs-pin < 1.0 while probe_clean was false on its worst window,
+    # recreating the double-speak this field exists to dispel).
     calibration["baseline_s"] = probe_base
     if calibration.get("probe_s") and probe_base:
         calibration["raw_ratio"] = round(calibration["probe_s"] / probe_base, 3)
@@ -1789,15 +1845,15 @@ def report_and_gate(
         )
     calibration["credited_drift_stream"] = round(drifts["stream"], 3)
     clean_ref = _clean_probe_reference()
-    if _pos_num(calibration.get("probe_s")) and _pos_num(clean_ref.get("probe_s")):
+    worst_scan = _worst_probe(calibration, "probe")
+    if _pos_num(worst_scan) and _pos_num(clean_ref.get("probe_s")):
         calibration["drift_vs_clean_pin"] = round(
-            calibration["probe_s"] / clean_ref["probe_s"], 3
+            worst_scan / clean_ref["probe_s"], 3
         )
-    if _pos_num(calibration.get("stream_probe_s")) and _pos_num(
-        clean_ref.get("stream_probe_s")
-    ):
+    settled_stream = _settled_stream_probe(calibration)
+    if _pos_num(settled_stream) and _pos_num(clean_ref.get("stream_probe_s")):
         calibration["stream_drift_vs_clean_pin"] = round(
-            calibration["stream_probe_s"] / clean_ref["stream_probe_s"], 3
+            settled_stream / clean_ref["stream_probe_s"], 3
         )
     regressions = find_regressions(timings, baseline, drifts)
     if _FAMILY_REGISTRY_FALLBACK:
@@ -1832,6 +1888,23 @@ def report_and_gate(
         "credited_drift": round(drift, 3),
         "credited_drift_stream": round(drifts["stream"], 3),
     }
+    # The like-for-like claim assumes like SCALE (review r11): a fast
+    # sf0.001 smoke run compares 24 queries against the sf0.1 baseline
+    # and reads as a bogus improvement with a vacuously-green gate.
+    # Stamp the mismatch so no consumer mistakes a smoke for a result
+    # (the fast variant stays useful exactly as a smoke: plans build,
+    # queries run, nothing crashes — the stamped block says that is
+    # ALL it shows).
+    base_sf = _baseline_sf()
+    if sf and base_sf and sf != base_sf:
+        comparable["baseline_sf"] = base_sf
+        comparable["sf_mismatch"] = True
+        print(
+            f"# SF MISMATCH: run at sf={sf} vs baseline recorded at "
+            f"sf={base_sf} — comparable/regression numbers are NOT "
+            "like-for-like (smoke only)",
+            file=sys.stderr,
+        )
     for name in timings:
         if name not in baseline:
             # New/renamed queries have no baseline entry — say so

@@ -1397,6 +1397,79 @@ def test_artifact_carries_drift_vs_clean_pin(monkeypatch, capsys):
     )["calibration"]
     assert "drift_vs_clean_pin" not in cal
     assert "stream_drift_vs_clean_pin" not in cal
+    # Review r11: the pin ratio is computed from the SAME windows
+    # probe_clean judges (worst scan window, settled stream post) —
+    # a loaded pre window with a quiet post used to read vs-pin < 1.0
+    # (from the recorded min) while probe_clean was false, recreating
+    # the double-speak the field exists to dispel.
+    report_and_gate(
+        {"q": 1.0}, 1.0, 1.0, sf=0.1, reps=2,
+        calibration={"probe_s": 0.29, "probe_pre_s": 0.60,
+                     "probe_post_s": 0.29, "stream_probe_s": 1.20,
+                     "stream_probe_pre_s": 1.55,
+                     "stream_probe_post_s": 1.20},
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["probe_clean"] is False  # worst scan window 0.60 vs pin
+    assert out["calibration"]["drift_vs_clean_pin"] == round(0.60 / 0.454, 3)
+    assert out["calibration"]["stream_drift_vs_clean_pin"] == round(
+        1.20 / 1.337, 3
+    )
+
+
+def test_comparable_block_stamps_sf_mismatch(monkeypatch, capsys):
+    """Review r11: nothing compared the run's sf to the baseline's —
+    an sf0.001 smoke run published a comparable block reading a bogus
+    0.76x 'improvement' against the sf0.1 baseline with a vacuously
+    green gate. Mismatched scale is now stamped in the block itself;
+    matched scale stays unstamped."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LENIENT", "1")
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: 1.0)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_sf", lambda here=None: 0.1)
+
+    report_and_gate({"q": 0.1}, 0.1, 0.1, sf=0.001, reps=2)
+    captured = capsys.readouterr()
+    obj = json.loads(captured.out.strip().splitlines()[-1])
+    assert obj["comparable"]["sf_mismatch"] is True
+    assert obj["comparable"]["baseline_sf"] == 0.1
+    assert "SF MISMATCH" in captured.err
+
+    report_and_gate({"q": 0.1}, 0.1, 0.1, sf=0.1, reps=2)
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "sf_mismatch" not in obj["comparable"]
+    assert "baseline_sf" not in obj["comparable"]
+
+
+def test_baseline_record_refuses_sf_mismatch(tmp_path, monkeypatch, capsys):
+    """Review r11: a recording at a different scale factor than the
+    standing baseline silently re-anchors every per-query bar to a
+    different workload — refused without FORCE, like a hardware
+    change."""
+    monkeypatch.setenv("SPARK_GRAFT_RECORD_BASELINE", "1")
+    monkeypatch.delenv("SPARK_GRAFT_BASELINE_FORCE", raising=False)
+    monkeypatch.setattr(bench, "_baseline_sf", lambda here=None: 0.1)
+    art = {
+        "sf": 0.001,
+        "calibration": {"probe_s": 0.4, "stream_probe_s": 1.3},
+        "load": {"loadavg_pre": [0.1], "cpus": 32},
+    }
+    assert bench.maybe_record_baseline(art, here=str(tmp_path)) == 1
+    assert "sf=0.001 against a standing sf=0.1" in capsys.readouterr().err
+    assert not (tmp_path / "BENCH_BASELINE.json").exists()
+
+
+def test_sweep_evidence_survives_scandir_failure_and_lands_in_load(capsys):
+    """Review r11: the scandir-failure early return skipped the
+    stderr evidence line, so an enabled-but-failed sweep looked like
+    one that never ran."""
+    out = bench.sweep_orphan_tmp(
+        env={"SPARK_GRAFT_SWEEP_TMP": "1"},
+        tmp_dir="/nonexistent-dir-for-sweep-test",
+    )
+    assert out == {"swept": 0, "kept": 0, "errors": 1}
+    assert "SWEEP_TMP" in capsys.readouterr().err
 
 
 def test_sweep_orphan_tmp_is_opt_in_and_age_gated(tmp_path):
