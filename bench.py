@@ -1176,11 +1176,23 @@ def main() -> int:
         min(sprobe_pre, sprobe_post),
         sprobe_base,
     )
-    flagged = [
-        n
-        for n in find_regressions(timings, _baseline_timings(), drift_now)
-        if n != "__suite__" and n in qs
-    ]
+    # ADVICE r11 (same wrong-baseline logic as the gate): an
+    # sf-mismatched run compares against bars recorded at a different
+    # scale — streaming queries' fixed micro-batch overheads dwarf a
+    # small-sf run, so every one "regresses" and burns 2x reps on a
+    # smoke (measured: 7 spurious retries on an sf0.001 run). The
+    # gate itself is skipped on mismatch in report_and_gate, so the
+    # retries would defend a verdict that is never rendered.
+    base_sf_now = _baseline_sf()
+    flagged = (
+        []
+        if (sf and base_sf_now and sf != base_sf_now)
+        else [
+            n
+            for n in find_regressions(timings, _baseline_timings(), drift_now)
+            if n != "__suite__" and n in qs
+        ]
+    )
     retried: dict[str, int] = {}
     for name in flagged:
         best = timings[name]
@@ -1374,14 +1386,17 @@ def maybe_record_baseline(artifact: dict, here: str | None = None) -> int:
     # idle box below.
     base_sf = _baseline_sf(here)
     art_sf = artifact.get("sf")
+    # ADVICE r11: a missing artifact sf is a MISMATCH, not a bye — a
+    # hand-fed or pre-sf artifact of unknown scale must not silently
+    # re-anchor a standing sf'd baseline without FORCE.
     if (
         base_sf
-        and art_sf
-        and art_sf != base_sf
+        and (not art_sf or art_sf != base_sf)
         and not os.environ.get("SPARK_GRAFT_BASELINE_FORCE")
     ):
         print(
-            f"# BASELINE REFUSED: recording at sf={art_sf} against a "
+            f"# BASELINE REFUSED: recording at "
+            f"sf={art_sf if art_sf else 'unknown'} against a "
             f"standing sf={base_sf} baseline re-anchors every "
             "per-query bar to a different workload; use "
             "SPARK_GRAFT_BASELINE_FORCE=1 for a deliberate scale move",
@@ -1508,6 +1523,15 @@ def _worst_probe(calibration: dict, key: str) -> float | None:
             return None
         return max(valid + [fallback])
     if valid:
+        # ADVICE r11: fold a valid recorded scalar in even when a
+        # window is simply ABSENT (not junk). probe_s is min(pre,post)
+        # by construction, so on any self-consistent artifact this is
+        # a no-op — but a hand-fed artifact whose scalar exceeds the
+        # lone surviving window could otherwise read probe_clean=true
+        # while the baseline-record gate (which judges the scalar)
+        # refuses, breaking flag-true-implies-gate-pass.
+        if _pos_num(fallback):
+            return max(valid + [fallback])
         return max(valid)
     return fallback if _pos_num(fallback) else None
 
@@ -1611,7 +1635,11 @@ def compact_artifact_line(artifact: dict, self_artifact: str | None = None) -> s
         if len(line) <= COMPACT_LINE_MAX:
             return line
     regressions = compact.get("regressions") or {}
-    if "regressions" in compact:
+    # An sf-mismatched (ungated) run carries `regressions: null`
+    # (ADVICE r11) — keep the null distinct from {} (gated, none
+    # found) through every compression rung.
+    ungated = "regressions" in compact and compact["regressions"] is None
+    if "regressions" in compact and not ungated:
         compact["regressions"] = {
             name: round(r["now"] / r["baseline"], 2)
             if r.get("baseline")
@@ -1630,7 +1658,7 @@ def compact_artifact_line(artifact: dict, self_artifact: str | None = None) -> s
     # fields the artifact actually carried.
     if "regressions" in compact:
         compact.pop("regressions")
-        compact["regressions_count"] = len(regressions)
+        compact["regressions_count"] = None if ungated else len(regressions)
     if "retried" in compact:
         compact["retried_count"] = len(compact.pop("retried") or {})
     line = json.dumps(compact)
@@ -1855,7 +1883,17 @@ def report_and_gate(
         calibration["stream_drift_vs_clean_pin"] = round(
             settled_stream / clean_ref["stream_probe_s"], 3
         )
-    regressions = find_regressions(timings, baseline, drifts)
+    # ADVICE r11: an sf-mismatched run must not be GATED against the
+    # wrong-scale baseline — a smaller sf reads vacuously green (an
+    # exit-code-only consumer mistakes the smoke for a pass) and a
+    # larger sf flags spurious per-query regressions (a clean run
+    # exits 1). Stamp the mismatch (below) AND skip the gate entirely:
+    # the artifact carries `regressions: null` + `gated: false`, and
+    # the exit code reflects only what the smoke actually shows
+    # (plans build, queries run, nothing crashes).
+    base_sf = _baseline_sf()
+    sf_mismatch = bool(sf and base_sf and sf != base_sf)
+    regressions = None if sf_mismatch else find_regressions(timings, baseline, drifts)
     if _FAMILY_REGISTRY_FALLBACK:
         # query_family lost the registry at some point this process
         # and credited by name prefix — record it so the artifact's
@@ -1895,10 +1933,10 @@ def report_and_gate(
     # (the fast variant stays useful exactly as a smoke: plans build,
     # queries run, nothing crashes — the stamped block says that is
     # ALL it shows).
-    base_sf = _baseline_sf()
-    if sf and base_sf and sf != base_sf:
+    if sf_mismatch:
         comparable["baseline_sf"] = base_sf
         comparable["sf_mismatch"] = True
+        comparable["gated"] = False
         print(
             f"# SF MISMATCH: run at sf={sf} vs baseline recorded at "
             f"sf={base_sf} — comparable/regression numbers are NOT "
@@ -1910,7 +1948,7 @@ def report_and_gate(
             # New/renamed queries have no baseline entry — say so
             # instead of letting the gate pass vacuously for them.
             print(f"# UNGATED {name}: no baseline entry", file=sys.stderr)
-    for name, r in regressions.items():
+    for name, r in (regressions or {}).items():
         if name == "__suite__":
             print(
                 f"# REGRESSION suite-wide: gated sum {r['now']}s vs "

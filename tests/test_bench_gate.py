@@ -1356,10 +1356,15 @@ def test_worst_probe_junk_window_cannot_hide_behind_quiet_one():
         "probe",
     ) is None
     # Both windows ABSENT (old artifacts) still falls back to the
-    # scalar; one absent window with one valid is partial-but-honest
-    # evidence, unchanged.
+    # scalar; with one window absent and one valid the scalar folds
+    # into the max too (ADVICE r11: probe_s is min(pre,post) by
+    # construction so this is a no-op on consistent artifacts, but a
+    # hand-fed scalar ABOVE the lone surviving window must not let
+    # probe_clean read true while the record gate judging the scalar
+    # fails).
     assert bench._worst_probe({"probe_s": 0.4}, "probe") == 0.4
-    assert bench._worst_probe({"probe_s": 0.4, "probe_post_s": 0.37}, "probe") == 0.37
+    assert bench._worst_probe({"probe_s": 0.4, "probe_post_s": 0.37}, "probe") == 0.4
+    assert bench._worst_probe({"probe_s": 0.3, "probe_post_s": 0.37}, "probe") == 0.37
 
 
 def test_artifact_carries_drift_vs_clean_pin(monkeypatch, capsys):
@@ -1434,12 +1439,66 @@ def test_comparable_block_stamps_sf_mismatch(monkeypatch, capsys):
     obj = json.loads(captured.out.strip().splitlines()[-1])
     assert obj["comparable"]["sf_mismatch"] is True
     assert obj["comparable"]["baseline_sf"] == 0.1
+    assert obj["comparable"]["gated"] is False
+    assert obj["regressions"] is None
     assert "SF MISMATCH" in captured.err
 
     report_and_gate({"q": 0.1}, 0.1, 0.1, sf=0.1, reps=2)
     obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "sf_mismatch" not in obj["comparable"]
     assert "baseline_sf" not in obj["comparable"]
+    assert "gated" not in obj["comparable"]
+    assert obj["regressions"] == {}
+
+
+def test_sf_mismatch_skips_regression_gate(monkeypatch, capsys):
+    """ADVICE r11: an sf-mismatched run was stamped but still GATED
+    against the wrong-scale baseline — a larger-sf run exited 1 with
+    spurious per-query flags, a smaller-sf run exited 0 vacuously
+    green. The gate now skips entirely on mismatch: `regressions:
+    null`, `gated: false`, exit code reflects only the smoke."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_LENIENT", raising=False)
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: 1.0)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_sf", lambda here=None: 0.1)
+
+    # Larger-scale run: 10x the per-query baseline would gate hard at
+    # matched sf, but at sf=1.0 vs a 0.1 baseline it is not a
+    # regression signal at all.
+    code = report_and_gate({"q": 10.0}, 10.0, 10.0, sf=1.0, reps=2)
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0
+    assert obj["regressions"] is None
+    assert obj["comparable"]["gated"] is False
+
+    # Same timings at MATCHED sf: the strict gate still fires.
+    code = report_and_gate({"q": 10.0}, 10.0, 10.0, sf=0.1, reps=2)
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 1
+    assert "q" in obj["regressions"]
+
+
+def test_compact_line_preserves_ungated_null_through_rungs():
+    """The `regressions: null` marker of an ungated (sf-mismatched)
+    run must stay distinct from {} (gated, none found) on every
+    compact-line compression rung — on the count rung it becomes
+    `regressions_count: null`, never 0."""
+    art = {
+        "metric": "m",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i:03d}": 1.0 for i in range(200)},
+        "regressions": None,
+        "retried": {},
+        "calibration": {"probe_s": 0.4},
+    }
+    line = bench.compact_artifact_line(art)
+    obj = json.loads(line)
+    if "regressions" in obj:
+        assert obj["regressions"] is None
+    else:
+        assert obj["regressions_count"] is None
 
 
 def test_baseline_record_refuses_sf_mismatch(tmp_path, monkeypatch, capsys):
@@ -1457,6 +1516,17 @@ def test_baseline_record_refuses_sf_mismatch(tmp_path, monkeypatch, capsys):
     }
     assert bench.maybe_record_baseline(art, here=str(tmp_path)) == 1
     assert "sf=0.001 against a standing sf=0.1" in capsys.readouterr().err
+    assert not (tmp_path / "BENCH_BASELINE.json").exists()
+
+    # ADVICE r11: a MISSING artifact sf is a mismatch too — a hand-fed
+    # or pre-sf artifact of unknown scale must not re-anchor a
+    # standing sf'd baseline without FORCE.
+    no_sf = {
+        "calibration": {"probe_s": 0.4, "stream_probe_s": 1.3},
+        "load": {"loadavg_pre": [0.1], "cpus": 32},
+    }
+    assert bench.maybe_record_baseline(no_sf, here=str(tmp_path)) == 1
+    assert "sf=unknown against a standing sf=0.1" in capsys.readouterr().err
     assert not (tmp_path / "BENCH_BASELINE.json").exists()
 
 
