@@ -1001,6 +1001,128 @@ def wait_for_idle(
     return out
 
 
+# Probe-gated suite admission (VERDICT r12 item 1). The loadavg-based
+# wait_for_idle cannot see host-level contention: the r12 driver
+# artifact shows the idle wait "satisfied" at loadavg 3.10 immediately
+# before a 23 s scan-probe spike, and the whole 16-run r12 campaign
+# never found a probe-clean window while every loadavg read idle —
+# the guest's /proc/loadavg is blind to the hypervisor-level load the
+# probes measure directly. So after loadavg passes AND the warmups +
+# first settled scan probe have run, the suite is released only once
+# that probe's settled min sits within PROBE_ADMIT_RATIO of the
+# clean-box pin (0.454 s) — retrying the probe on a poll cadence
+# within the same bounded budget wait_for_idle draws from, and
+# proceeding EITHER WAY when the budget expires (never-block: a
+# bounded driver timeout is never risked; the refusal is logged like
+# WAIT_IDLE REFUSED and recorded in the artifact). The bar is
+# deliberately LOOSER than BASELINE_MAX_PROBE_RATIO (1.05): admission
+# improves the measurement window when it can; probe_clean stays the
+# strict box-absolute verdict on whatever window actually ran.
+PROBE_ADMIT_RATIO = 1.15
+# Poll cadence between probe re-runs: the box's load arrives in
+# ~10-20-minute waves (SCALING.md r07/r08), and each probe re-run
+# itself costs seconds of evidence-gathering wall — 20 s spacing
+# samples a wave edge a few times without burning the budget on
+# back-to-back probes.
+PROBE_ADMIT_POLL_S = 20.0
+
+
+def probe_admission(
+    probe_fn,
+    pin_s: float | None,
+    budget_s: float,
+    ratio: float = PROBE_ADMIT_RATIO,
+    poll_s: float = PROBE_ADMIT_POLL_S,
+    sleep_fn=None,
+    clock=None,
+    reprobe_fn=None,
+) -> tuple[dict, float, list[float]]:
+    """Release the timed suite only on a scan-probe-clean window, or
+    after ``budget_s`` of bounded retrying — never block. ``probe_fn``
+    is a zero-arg callable returning ``(settled_min_s, series)`` (a
+    closure over the live calibration_probe); it runs at least once.
+    ``reprobe_fn`` (default: ``probe_fn``) runs the RETRY attempts —
+    main() passes a shorter-rep probe there, because the first probe
+    doubles as the 12-rep JIT-settle barrier while a retry only needs
+    to sense the window on an already-settled plan (measured on the
+    r13 smoke: a full settle probe on a loaded window cost 190 s of
+    the budget in one attempt; a 4-rep window sample costs a fraction
+    of that and the budget buys several looks at the wave instead of
+    one). Returns ``(evidence, probe_min_s, series)`` where
+    ``probe_min_s`` / ``series`` are the FINAL attempt's — the window
+    the suite actually enters. Earlier attempts' mins stay visible in
+    ``evidence["attempt_mins"]`` (load-arrival evidence, same role as
+    the pre-probe spike series the r12 artifact carried).
+
+    Evidence dict (recorded under ``load.probe_admission``):
+    ``{"requested_s", "waited_s", "attempts", "ratio", "pin_s",
+    "bar_s", "attempt_mins", "satisfied"}``. ``satisfied`` is None
+    when no valid pin exists (nothing to judge against — a single
+    probe runs and the suite proceeds; no evidence is recorded as
+    clean). ``waited_s`` is the wall from admission start, INCLUDING
+    the mandatory first probe — so on a loaded box it can exceed a
+    small ``requested_s`` (the budget bounds the RETRYING, which the
+    loop condition measures on the same clock): a loaded box makes
+    each probe itself slow, and that elapsed time must count against
+    the bound or the never-block guarantee quietly weakens.
+    Injectable ``sleep_fn``/``clock`` for Spark-free gate tests."""
+    sleep_fn = sleep_fn or time.sleep
+    clock = clock or time.monotonic
+    reprobe_fn = reprobe_fn or probe_fn
+    t0 = clock()
+    best, series = probe_fn()
+    evidence = {
+        "requested_s": budget_s,
+        "waited_s": 0.0,
+        "attempts": 1,
+        "ratio": ratio,
+        "pin_s": pin_s if _pos_num(pin_s) else None,
+        "bar_s": None,
+        "attempt_mins": [best],
+        "satisfied": None,
+    }
+    if not _pos_num(pin_s):
+        # No clean pin to judge against (corrupt CLEAN_PROBE.json
+        # shape falls back to constants upstream, so this is a
+        # hand-fed/test case): proceed on the single probe, satisfied
+        # stays None — absence of a bar is not evidence of a clean
+        # window.
+        return evidence, best, series
+    bar = ratio * pin_s
+    evidence["bar_s"] = round(bar, 3)
+    evidence["satisfied"] = best <= bar
+    if evidence["satisfied"] or budget_s <= 0:
+        evidence["waited_s"] = round(clock() - t0, 1)
+        return evidence, best, series
+    print(
+        f"# PROBE_ADMISSION: scan probe {best}s > bar {bar:.3f}s "
+        f"({ratio}x of {pin_s}s pin); re-probing up to {budget_s:.0f}s "
+        "for a clean window",
+        file=sys.stderr,
+    )
+    while (clock() - t0) < budget_s:
+        sleep_fn(min(poll_s, max(0.0, budget_s - (clock() - t0))))
+        if (clock() - t0) >= budget_s:
+            break
+        best, series = reprobe_fn()
+        evidence["attempts"] += 1
+        evidence["attempt_mins"].append(best)
+        if best <= bar:
+            evidence["satisfied"] = True
+            break
+    evidence["waited_s"] = round(clock() - t0, 1)
+    if not evidence["satisfied"]:
+        print(
+            f"# PROBE_ADMISSION REFUSED: scan probe still {best}s "
+            f"({best / pin_s:.2f}x of pin) after "
+            f"{evidence['waited_s']:.0f}s / {evidence['attempts']} "
+            "attempts — proceeding anyway; probe_clean and the rep "
+            "series document the window",
+            file=sys.stderr,
+        )
+    return evidence, best, series
+
+
 # Opt-in tmp janitor (VERDICT r10 item 6). The package's wire caches
 # are session-lifetime by design and checkpoints clean themselves via
 # the deferred-release path — the orphans are what KILLED processes
@@ -1112,7 +1234,25 @@ def main() -> int:
     # are read ONCE here and reused by both probes and the retry
     # pre-check (report_and_gate re-reads through its own test seams).
     probe_base = _baseline_probe()
-    probe_pre, probe_pre_series = calibration_probe(spark, target_s=probe_base)
+    # Probe-gated admission (VERDICT r12 item 1): the loadavg wait
+    # above is blind to host-level contention, so the settled scan
+    # probe itself must read near the clean pin before the suite is
+    # released. The admission draws on whatever remains of the same
+    # bounded idle budget (never-block preserved: budget exhausted →
+    # logged refusal, suite proceeds, probe_clean adjudicates).
+    admit_budget = max(
+        0.0, float(idle_wait.get("requested_s") or 0.0) - idle_wait["waited_s"]
+    )
+    probe_admit, probe_pre, probe_pre_series = probe_admission(
+        lambda: calibration_probe(spark, target_s=probe_base),
+        pin_s=_clean_probe_reference()["probe_s"],
+        budget_s=admit_budget,
+        # Retries sample the window on the already-settled probe plan:
+        # 4 reps, not the full 12-rep settle barrier (see docstring).
+        reprobe_fn=lambda: calibration_probe(
+            spark, min_reps=2, max_reps=4, target_s=probe_base
+        ),
+    )
     # The replay-shaped probe, same pre/post protocol — the drift
     # signal for the stream_* family (VERDICT r05 item 2). Runs after
     # the streaming warmup so its first rep measures the box, not the
@@ -1200,9 +1340,14 @@ def main() -> int:
     # gate itself is skipped on mismatch in report_and_gate, so the
     # retries would defend a verdict that is never rendered.
     base_sf_now = _baseline_sf()
+    # ADVICE r12: a falsy/unknown run sf (sf=0.0 from an unparseable
+    # SPARK_GRAFT_SF_DIR) is a mismatch too, mirroring the 'missing sf
+    # is a MISMATCH, not a bye' rule in maybe_record_baseline — an
+    # unknown-scale run must not burn retry reps defending a gate that
+    # report_and_gate will (rightly) never render.
     flagged = (
         []
-        if (sf and base_sf_now and sf != base_sf_now)
+        if (base_sf_now and (not sf or sf != base_sf_now))
         else [
             n
             for n in find_regressions(timings, _baseline_timings(), drift_now)
@@ -1266,6 +1411,7 @@ def main() -> int:
         "loadavg_post": _loadavg(),
         "cpus": os.cpu_count(),
         "idle_wait": idle_wait,
+        "probe_admission": probe_admit,
     }
     if sweep is not None:
         # The sweep ran before the idle wait, outside all timed code —
@@ -1694,6 +1840,88 @@ def compact_artifact_line(artifact: dict, self_artifact: str | None = None) -> s
     return line
 
 
+# Campaign sidecar schema (VERDICT r12 item 6): the overnight
+# campaigns' evidence — window probes, suite sums, per-query bests —
+# lived only in SCALING.md prose, so the best-window per-query floors
+# that discharge watch items were not machine-checkable. Every field a
+# campaign line carries; test-pinned in tests/test_bench_gate.py so
+# the schema cannot drift silently under the consumers (the judge,
+# next round's floor analysis).
+CAMPAIGN_LINE_FIELDS = (
+    "kind",          # "suite" (full bench run) | "solo" (rep series)
+    "run",           # 1-based index within the campaign
+    "sf",
+    "value_s",       # suite gated-sum (suite) / series floor (solo)
+    "probe_pre_s",   # scan probe windows, settled mins
+    "probe_post_s",
+    "probe_vs_pin",  # worst scan window / clean pin
+    "stream_probe_post_s",  # settled stream window (None on solo runs
+                            # of batch queries — no stream machinery up)
+    "stream_vs_pin",
+    "probe_clean",
+    "loadavg_pre",
+    "queries",       # per-query best seconds (suite) / {name: floor}
+    "series",        # solo only: the full rep series; None on suite
+    "regressions",   # sorted flagged names (suite; [] none, None ungated)
+    "retried",       # sorted retried names (suite)
+    "exit",          # bench.py exit code (suite; None when unknown/solo)
+)
+
+
+def campaign_line(
+    artifact: dict,
+    kind: str = "suite",
+    run: int | None = None,
+    exit_code: int | None = None,
+) -> dict:
+    """Project a full bench artifact (the BENCH_SELF.json shape) onto
+    the flat campaign-line schema above — pure, so the gate tests pin
+    the projection without a Spark session. Missing inputs project to
+    None rather than raising: a campaign must be able to record a
+    partially-failed run's evidence (that failure IS evidence)."""
+    cal = artifact.get("calibration") or {}
+    load = artifact.get("load") or {}
+    regressions = artifact.get("regressions")
+    clean_ref = _clean_probe_reference()
+    worst_scan = _worst_probe(cal, "probe")
+    settled_stream = _settled_stream_probe(cal)
+    line = {
+        "kind": kind,
+        "run": run,
+        "sf": artifact.get("sf"),
+        "value_s": artifact.get("value"),
+        "probe_pre_s": cal.get("probe_pre_s"),
+        "probe_post_s": cal.get("probe_post_s"),
+        "probe_vs_pin": round(worst_scan / clean_ref["probe_s"], 3)
+        if _pos_num(worst_scan) and _pos_num(clean_ref.get("probe_s"))
+        else None,
+        "stream_probe_post_s": cal.get("stream_probe_post_s"),
+        "stream_vs_pin": round(settled_stream / clean_ref["stream_probe_s"], 3)
+        if _pos_num(settled_stream) and _pos_num(clean_ref.get("stream_probe_s"))
+        else None,
+        "probe_clean": artifact.get("probe_clean"),
+        "loadavg_pre": (load.get("loadavg_pre") or [None])[0],
+        "queries": artifact.get("queries"),
+        "series": artifact.get("series"),
+        "regressions": None
+        if regressions is None
+        else sorted(n for n in regressions if n != "__suite__"),
+        "retried": sorted(artifact.get("retried") or {}),
+        "exit": exit_code,
+    }
+    assert set(line) == set(CAMPAIGN_LINE_FIELDS)
+    return line
+
+
+def append_campaign_line(line: dict, path: str) -> None:
+    """Append one JSON line to the campaign sidecar ``path`` —
+    append-only so concurrent/sequential runs never clobber earlier
+    evidence (O_APPEND single-write is atomic for these line sizes on
+    this filesystem)."""
+    with open(path, "a") as f:
+        f.write(json.dumps(line) + "\n")
+
+
 def shutdown_spark(spark) -> None:
     """Stop every active streaming query, then the session — BEFORE
     the metric JSON is printed (VERDICT r08's one defect): bench.py
@@ -1908,7 +2136,13 @@ def report_and_gate(
     # the exit code reflects only what the smoke actually shows
     # (plans build, queries run, nothing crashes).
     base_sf = _baseline_sf()
-    sf_mismatch = bool(sf and base_sf and sf != base_sf)
+    # ADVICE r12: treat a falsy/unknown run sf as a mismatch, not a
+    # bye — same rule as maybe_record_baseline's 'missing sf is a
+    # MISMATCH'. An unknown-scale run gated against the sf'd baseline
+    # could exit 1 spuriously or pass vacuously green; with no
+    # standing baseline sf at all there is nothing to mismatch (the
+    # baseline map is empty and the gate is vacuous anyway).
+    sf_mismatch = bool(base_sf) and (not sf or sf != base_sf)
     regressions = None if sf_mismatch else find_regressions(timings, baseline, drifts)
     if _FAMILY_REGISTRY_FALLBACK:
         # query_family lost the registry at some point this process
@@ -1954,9 +2188,9 @@ def report_and_gate(
         comparable["sf_mismatch"] = True
         comparable["gated"] = False
         print(
-            f"# SF MISMATCH: run at sf={sf} vs baseline recorded at "
-            f"sf={base_sf} — comparable/regression numbers are NOT "
-            "like-for-like (smoke only)",
+            f"# SF MISMATCH: run at sf={sf if sf else 'unknown'} vs "
+            f"baseline recorded at sf={base_sf} — comparable/"
+            "regression numbers are NOT like-for-like (smoke only)",
             file=sys.stderr,
         )
     for name in timings:

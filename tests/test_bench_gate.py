@@ -1483,22 +1483,31 @@ def test_compact_line_preserves_ungated_null_through_rungs():
     """The `regressions: null` marker of an ungated (sf-mismatched)
     run must stay distinct from {} (gated, none found) on every
     compact-line compression rung — on the count rung it becomes
-    `regressions_count: null`, never 0."""
+    `regressions_count: null`, never 0. ADVICE r12: the old input
+    (200 short queries, empty retried) already fit once the query map
+    dropped, so the count rung was never reached and the assertion
+    passed vacuously — the pathological retried map below (300 long
+    names, ~12 KB serialized) keeps the line over COMPACT_LINE_MAX
+    through the ratio rung (which skips an ungated None) and forces
+    the count rung to actually run."""
     art = {
         "metric": "m",
         "value": 1.0,
         "unit": "sec",
         "queries": {f"q{i:03d}": 1.0 for i in range(200)},
         "regressions": None,
-        "retried": {},
+        "retried": {f"stream_dedup_variant_number_{i:04d}": 9 for i in range(300)},
         "calibration": {"probe_s": 0.4},
     }
     line = bench.compact_artifact_line(art)
     obj = json.loads(line)
-    if "regressions" in obj:
-        assert obj["regressions"] is None
-    else:
-        assert obj["regressions_count"] is None
+    assert len(line) <= bench.COMPACT_LINE_MAX
+    # The count rung must have run (the retried map alone exceeds the
+    # cap, so neither of the earlier rungs could have satisfied it)
+    # and the ungated null must survive it as an explicit null count.
+    assert "regressions" not in obj and "retried" not in obj
+    assert obj["regressions_count"] is None
+    assert obj["retried_count"] == 300
 
 
 def test_baseline_record_refuses_sf_mismatch(tmp_path, monkeypatch, capsys):
@@ -1649,3 +1658,228 @@ def test_probe_clean_judged_on_worst_window(monkeypatch, capsys):
     assert bench._settled_stream_probe(
         {"stream_probe_s": 1.3, "stream_probe_post_s": 0.0}
     ) == 1.3
+
+
+# ---------------------------------------------------------------------------
+# Probe-gated suite admission (VERDICT r12 item 1)
+
+
+def _fake_probe_seq(mins):
+    """A probe_fn whose successive calls return the given settled
+    mins (series = [min] for brevity); records call count."""
+    calls = {"n": 0}
+
+    def fn():
+        i = min(calls["n"], len(mins) - 1)
+        calls["n"] += 1
+        return mins[i], [mins[i]]
+
+    fn.calls = calls
+    return fn
+
+
+class _FakeClock:
+    """Deterministic clock: advances only via explicit sleep."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+
+def test_probe_admission_truth_table():
+    """The admission truth table (VERDICT r12 item 1): clean first
+    probe releases immediately; a dirty probe retries on the poll
+    cadence within the budget and releases the moment a window reads
+    clean; budget exhaustion proceeds with satisfied=False (never
+    block); a missing pin judges nothing (satisfied=None)."""
+    pin = 0.454
+    bar = bench.PROBE_ADMIT_RATIO * pin
+
+    # 1. Clean first window: one attempt, no waiting.
+    clk = _FakeClock()
+    ev, best, series = bench.probe_admission(
+        _fake_probe_seq([0.46]), pin, 600.0, sleep_fn=clk.sleep, clock=clk
+    )
+    assert ev["satisfied"] is True
+    assert ev["attempts"] == 1 and ev["attempt_mins"] == [0.46]
+    assert best == 0.46 and series == [0.46]
+    assert ev["bar_s"] == round(bar, 3)
+
+    # 2. Dirty then clean: retries until the clean window, returns
+    #    the ADMITTED window's value (the one the suite enters).
+    clk = _FakeClock()
+    fn = _fake_probe_seq([2.0, 1.1, 0.45])
+    ev, best, series = bench.probe_admission(
+        fn, pin, 600.0, sleep_fn=clk.sleep, clock=clk
+    )
+    assert ev["satisfied"] is True
+    assert ev["attempts"] == 3 and fn.calls["n"] == 3
+    assert ev["attempt_mins"] == [2.0, 1.1, 0.45]
+    assert best == 0.45
+
+    # 3. Never clean: bounded retries, refusal recorded, proceeds —
+    #    and the budget bounds the wall (poll 20s → ~30 attempts in
+    #    600s, never an unbounded loop).
+    clk = _FakeClock()
+    fn = _fake_probe_seq([3.0])
+    ev, best, series = bench.probe_admission(
+        fn, pin, 100.0, sleep_fn=clk.sleep, clock=clk
+    )
+    assert ev["satisfied"] is False
+    assert best == 3.0
+    assert ev["waited_s"] <= 100.0 + bench.PROBE_ADMIT_POLL_S
+    assert ev["attempts"] == fn.calls["n"] >= 2
+
+    # 4. Zero budget + dirty: single probe, immediate refusal.
+    clk = _FakeClock()
+    ev, best, _ = bench.probe_admission(
+        _fake_probe_seq([3.0]), pin, 0.0, sleep_fn=clk.sleep, clock=clk
+    )
+    assert ev["satisfied"] is False and ev["attempts"] == 1
+
+    # 5. No pin (None / junk): nothing to judge — one probe,
+    #    satisfied stays None (absence of a bar is not cleanliness).
+    for junk in (None, 0.0, True, float("nan")):
+        clk = _FakeClock()
+        ev, best, _ = bench.probe_admission(
+            _fake_probe_seq([3.0]), junk, 600.0, sleep_fn=clk.sleep, clock=clk
+        )
+        assert ev["satisfied"] is None and ev["attempts"] == 1
+        assert ev["pin_s"] is None and ev["bar_s"] is None
+
+
+def test_probe_admission_budget_counts_probe_time():
+    """The never-block bound must count the probes' own wall, not
+    just the sleeps — on a loaded box each settled probe can itself
+    take tens of seconds (r12: a 23 s probe rep), and a sleep-only
+    budget would overrun by attempts x probe-cost."""
+    clk = _FakeClock()
+
+    def slow_probe():
+        clk.sleep(50.0)  # each probe costs 50s of wall
+        return 3.0, [3.0]
+
+    ev, _, _ = bench.probe_admission(
+        slow_probe, 0.454, 120.0, sleep_fn=clk.sleep, clock=clk
+    )
+    assert ev["satisfied"] is False
+    # 50 (probe) + 20 (poll) + 50 (probe) + 20 (poll) = 140 > 120:
+    # the loop must stop by then, not keep probing.
+    assert ev["attempts"] <= 3
+    assert clk.t <= 120.0 + bench.PROBE_ADMIT_POLL_S + 50.0
+
+
+def test_unknown_run_sf_is_a_mismatch_not_a_bye(monkeypatch, capsys):
+    """ADVICE r12: sf=0.0 (unparseable SPARK_GRAFT_SF_DIR) used to be
+    treated as MATCHED — gated and retried against the sf'd baseline,
+    asymmetric with maybe_record_baseline's 'missing sf is a
+    MISMATCH' rule. An unknown-scale run must skip the gate and
+    stamp the mismatch."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_LENIENT", raising=False)
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"q": 1.0})
+    monkeypatch.setattr(bench, "_baseline_probe", lambda: 1.0)
+    monkeypatch.setattr(bench, "_baseline_stream_probe", lambda: None)
+    monkeypatch.setattr(bench, "_baseline_sf", lambda here=None: 0.1)
+
+    code = report_and_gate({"q": 10.0}, 10.0, 10.0, sf=0.0, reps=2)
+    captured = capsys.readouterr()
+    obj = json.loads(captured.out.strip().splitlines()[-1])
+    assert code == 0
+    assert obj["regressions"] is None
+    assert obj["comparable"]["gated"] is False
+    assert obj["comparable"]["sf_mismatch"] is True
+    assert "sf=unknown" in captured.err
+
+    # No standing baseline sf at all (pre-sf or absent baseline):
+    # nothing to mismatch — the gate runs (vacuously, on whatever
+    # baseline map exists).
+    monkeypatch.setattr(bench, "_baseline_sf", lambda here=None: None)
+    code = report_and_gate({"q": 10.0}, 10.0, 10.0, sf=0.0, reps=2)
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["regressions"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Campaign sidecar schema (VERDICT r12 item 6)
+
+
+def test_campaign_line_schema_and_projection(monkeypatch, tmp_path):
+    """CAMPAIGN_LINE_FIELDS is the machine-checkable schema the
+    judge and next-round floor analysis read — pin the field set and
+    the projection from a full artifact, including the vs-pin ratios
+    (worst scan window, settled stream post: the same instruments
+    probe_clean judges)."""
+    art = {
+        "sf": 0.1,
+        "value": 30.0,
+        "probe_clean": False,
+        "queries": {"q1": 1.0, "q2": 2.0},
+        "regressions": {"q2": {"now": 2.0, "baseline": 0.9}, "__suite__": {}},
+        "retried": {"q2": 6},
+        "calibration": {
+            "probe_s": 0.45,
+            "probe_pre_s": 0.5,
+            "probe_post_s": 0.45,
+            "stream_probe_s": 1.4,
+            "stream_probe_pre_s": 1.6,
+            "stream_probe_post_s": 1.4,
+        },
+        "load": {"loadavg_pre": [0.12, 0.3, 0.4]},
+    }
+    line = bench.campaign_line(art, kind="suite", run=3, exit_code=0)
+    assert set(line) == set(bench.CAMPAIGN_LINE_FIELDS)
+    assert line["kind"] == "suite" and line["run"] == 3
+    assert line["exit"] == 0
+    assert line["value_s"] == 30.0 and line["sf"] == 0.1
+    assert line["probe_pre_s"] == 0.5 and line["probe_post_s"] == 0.45
+    # worst scan window 0.5 vs the clean pin; settled stream post 1.4.
+    assert line["probe_vs_pin"] == round(0.5 / bench.CLEAN_PROBE_S, 3)
+    assert line["stream_vs_pin"] == round(1.4 / bench.CLEAN_STREAM_PROBE_S, 3)
+    assert line["probe_clean"] is False
+    assert line["loadavg_pre"] == 0.12
+    assert line["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert line["regressions"] == ["q2"]  # __suite__ marker excluded
+    assert line["retried"] == ["q2"]
+    assert line["series"] is None
+
+    # Ungated (sf-mismatch) run: the None marker survives projection.
+    art["regressions"] = None
+    assert bench.campaign_line(art)["regressions"] is None
+
+    # Partially-failed run (no calibration/load at all): every field
+    # projects to a None-ish value, nothing raises — the failure is
+    # evidence the campaign must still record.
+    sparse = bench.campaign_line({}, kind="solo", run=1)
+    assert set(sparse) == set(bench.CAMPAIGN_LINE_FIELDS)
+    assert sparse["probe_vs_pin"] is None and sparse["value_s"] is None
+    assert sparse["regressions"] is None and sparse["retried"] == []
+    assert sparse["exit"] is None
+
+    # Append-only sidecar: two lines land as two parseable JSONL rows.
+    path = str(tmp_path / "CAMPAIGN_test.jsonl")
+    bench.append_campaign_line(line, path)
+    bench.append_campaign_line(sparse, path)
+    rows = [json.loads(r) for r in open(path)]
+    assert len(rows) == 2 and rows[0]["run"] == 3 and rows[1]["kind"] == "solo"
+
+
+def test_probe_admission_retries_use_light_reprobe():
+    """Retry attempts must run the cheap window-sample probe, not the
+    full 12-rep settle barrier (r13 smoke: one full settle probe on a
+    loaded window burned 190 s of budget in a single attempt)."""
+    clk = _FakeClock()
+    full = _fake_probe_seq([3.0])
+    light = _fake_probe_seq([2.0, 0.45])
+    ev, best, series = bench.probe_admission(
+        full, 0.454, 600.0, sleep_fn=clk.sleep, clock=clk, reprobe_fn=light
+    )
+    assert full.calls["n"] == 1          # settle barrier ran exactly once
+    assert light.calls["n"] == 2         # retries on the light probe
+    assert ev["satisfied"] is True
+    assert ev["attempt_mins"] == [3.0, 2.0, 0.45]
+    assert best == 0.45                  # admitted window's value
