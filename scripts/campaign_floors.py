@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Best-window per-query floors from a campaign sidecar (VERDICT r12
+item 6's consumer): for every query observed in CAMPAIGN JSONL lines
+(suite runs and solo series), print the minimum recorded seconds, the
+line it came from (kind/run), that window's probe ratios, and the
+ratio vs the standing merged baseline — the exact numbers a watch-item
+discharge cites, computed from the sidecar instead of prose.
+
+Usage: python scripts/campaign_floors.py [CAMPAIGN_r13.jsonl] [--json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import bench  # noqa: E402
+
+
+def floors(path: str) -> dict[str, dict]:
+    """{query: {floor_s, kind, run, probe_vs_pin, stream_vs_pin,
+    probe_clean, baseline_s, vs_baseline}} — min over every line that
+    carries the query. Pure file-reading, no Spark."""
+    best: dict[str, dict] = {}
+    with open(path) as f:
+        for raw in f:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                line = json.loads(raw)
+            except ValueError:
+                continue  # a torn/corrupt line must not hide the rest
+            for q, secs in (line.get("queries") or {}).items():
+                if not isinstance(secs, (int, float)) or isinstance(secs, bool):
+                    continue
+                if q not in best or secs < best[q]["floor_s"]:
+                    best[q] = {
+                        "floor_s": secs,
+                        "kind": line.get("kind"),
+                        "run": line.get("run"),
+                        "probe_vs_pin": line.get("probe_vs_pin"),
+                        "stream_vs_pin": line.get("stream_vs_pin"),
+                        "probe_clean": line.get("probe_clean"),
+                    }
+    baseline = bench._baseline_timings()
+    for q, rec in best.items():
+        b = baseline.get(q)
+        rec["baseline_s"] = b
+        rec["vs_baseline"] = round(rec["floor_s"] / b, 3) if b else None
+    return best
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    as_json = "--json" in sys.argv[1:]
+    path = args[0] if args else os.path.join(HERE, "CAMPAIGN_r13.jsonl")
+    if not os.path.exists(path):
+        print(f"no campaign sidecar at {path}", file=sys.stderr)
+        return 2
+    best = floors(path)
+    if as_json:
+        print(json.dumps(best, sort_keys=True))
+        return 0
+    width = max((len(q) for q in best), default=10)
+    for q in sorted(best, key=lambda q: -(best[q]["vs_baseline"] or 0)):
+        r = best[q]
+        vs = f"{r['vs_baseline']:.2f}x" if r["vs_baseline"] else "  n/a"
+        print(
+            f"{q:<{width}}  floor {r['floor_s']:>7.3f}s  vs_baseline {vs}"
+            f"  window scan {r['probe_vs_pin']} stream {r['stream_vs_pin']}"
+            f"  ({r['kind']} run {r['run']})"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

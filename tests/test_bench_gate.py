@@ -1883,3 +1883,40 @@ def test_probe_admission_retries_use_light_reprobe():
     assert ev["satisfied"] is True
     assert ev["attempt_mins"] == [3.0, 2.0, 0.45]
     assert best == 0.45                  # admitted window's value
+
+
+def test_campaign_floors_reader(tmp_path, monkeypatch):
+    """scripts/campaign_floors.py is the sidecar's consumer: the
+    floor must be the min over every line carrying the query (solo
+    and suite), keep that window's probe evidence, ratio against the
+    merged baseline, and skip torn/corrupt lines and junk values
+    without hiding the rest."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "campaign_floors",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts",
+                     "campaign_floors.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    path = tmp_path / "c.jsonl"
+    lines = [
+        {"kind": "suite", "run": 1, "queries": {"qa": 2.0, "qb": 1.0},
+         "probe_vs_pin": 1.2, "stream_vs_pin": 1.3, "probe_clean": False},
+        {"kind": "solo", "run": None, "queries": {"qa": 1.5},
+         "probe_vs_pin": 0.95, "stream_vs_pin": 1.1, "probe_clean": False},
+        {"kind": "suite", "run": 2, "queries": {"qa": True, "qb": None}},
+    ]
+    with open(path, "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+        f.write("{torn json\n")
+
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"qa": 1.0})
+    out = mod.floors(str(path))
+    assert out["qa"]["floor_s"] == 1.5 and out["qa"]["kind"] == "solo"
+    assert out["qa"]["probe_vs_pin"] == 0.95
+    assert out["qa"]["vs_baseline"] == 1.5
+    assert out["qb"]["floor_s"] == 1.0 and out["qb"]["vs_baseline"] is None
