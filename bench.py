@@ -1086,13 +1086,28 @@ def probe_admission(
         # shape falls back to constants upstream, so this is a
         # hand-fed/test case): proceed on the single probe, satisfied
         # stays None — absence of a bar is not evidence of a clean
-        # window.
+        # window. waited_s still records the mandatory first probe's
+        # wall so the evidence dict is consistent on every path
+        # (ADVICE r13).
+        evidence["waited_s"] = round(clock() - t0, 1)
         return evidence, best, series
     bar = ratio * pin_s
     evidence["bar_s"] = round(bar, 3)
     evidence["satisfied"] = best <= bar
     if evidence["satisfied"] or budget_s <= 0:
         evidence["waited_s"] = round(clock() - t0, 1)
+        if not evidence["satisfied"]:
+            # Dirty first probe with no retry budget left (the idle
+            # wait consumed it all): still a refusal, and stderr must
+            # say so or the artifact's satisfied=False has no log twin
+            # (ADVICE r13).
+            print(
+                f"# PROBE_ADMISSION REFUSED: scan probe {best}s "
+                f"({best / pin_s:.2f}x of pin) and no retry budget "
+                "remains — proceeding anyway; probe_clean and the rep "
+                "series document the window",
+                file=sys.stderr,
+            )
         return evidence, best, series
     print(
         f"# PROBE_ADMISSION: scan probe {best}s > bar {bar:.3f}s "
@@ -1909,7 +1924,14 @@ def campaign_line(
         "retried": sorted(artifact.get("retried") or {}),
         "exit": exit_code,
     }
-    assert set(line) == set(CAMPAIGN_LINE_FIELDS)
+    if set(line) != set(CAMPAIGN_LINE_FIELDS):
+        # Explicit raise, not assert: the schema pin must survive
+        # python -O or a future field drift passes silently in
+        # optimized runs (ADVICE r13).
+        raise RuntimeError(
+            "campaign_line schema drift: "
+            f"{sorted(set(line) ^ set(CAMPAIGN_LINE_FIELDS))}"
+        )
     return line
 
 

@@ -44,12 +44,19 @@ def main() -> int:
         # sidecar must not get the PREVIOUS run's artifact projected
         # under its exit code.
         before = os.path.getmtime(self_path) if os.path.exists(self_path) else None
-        proc = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench.py")],
-            cwd=HERE,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
+        # Per-run stderr log (ADVICE r13): when a run dies before
+        # writing BENCH_SELF.json the sidecar line carries only an
+        # exit code — the gate/refusal/crash output must survive
+        # somewhere or "a failed run is evidence" is hollow. stdout
+        # (the metric line, duplicated in the sidecar) stays dropped.
+        run_log = f"{os.path.splitext(out)[0]}.run{run}.log"
+        with open(run_log, "w") as logf:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(HERE, "bench.py")],
+                cwd=HERE,
+                stdout=subprocess.DEVNULL,
+                stderr=logf,
+            )
         art = {}
         try:
             after = os.path.getmtime(self_path)

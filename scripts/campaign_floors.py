@@ -6,6 +6,13 @@ line it came from (kind/run), that window's probe ratios, and the
 ratio vs the standing merged baseline — the exact numbers a watch-item
 discharge cites, computed from the sidecar instead of prose.
 
+Torn/corrupt sidecar lines are skipped (one bad line must not hide
+the rest), but a query name is NEVER dropped: a query absent from the
+merged baseline is still reported, with baseline_s/vs_baseline None
+(printed as 'n/a'), so a renamed query surfaces in the report instead
+of vanishing (VERDICT r13 item 4; pinned in tests/test_bench_gate.py::
+test_campaign_floors_surfaces_unknown_query).
+
 Usage: python scripts/campaign_floors.py [CAMPAIGN_r13.jsonl] [--json]
 """
 

@@ -1920,3 +1920,127 @@ def test_campaign_floors_reader(tmp_path, monkeypatch):
     assert out["qa"]["probe_vs_pin"] == 0.95
     assert out["qa"]["vs_baseline"] == 1.5
     assert out["qb"]["floor_s"] == 1.0 and out["qb"]["vs_baseline"] is None
+
+
+def test_probe_admission_no_pin_records_waited():
+    """ADVICE r13 (bench.py probe_admission): the no-pin early return
+    must still stamp waited_s with the mandatory first probe's wall —
+    the docstring promises 'waited_s is the wall from admission
+    start, INCLUDING the mandatory first probe' on EVERY path."""
+    clk = _FakeClock()
+
+    def slow_probe():
+        clk.sleep(7.0)
+        return 3.0, [3.0]
+
+    ev, _, _ = bench.probe_admission(
+        slow_probe, None, 600.0, sleep_fn=clk.sleep, clock=clk
+    )
+    assert ev["satisfied"] is None
+    assert ev["waited_s"] == 7.0
+
+
+def test_probe_admission_zero_budget_refusal_is_logged(capsys):
+    """ADVICE r13: a dirty first probe with budget_s already 0 (the
+    idle wait ate it) is a refusal and must print PROBE_ADMISSION
+    REFUSED — stderr must match the artifact's satisfied=False on
+    every refusal path, not only the retry one."""
+    clk = _FakeClock()
+    ev, _, _ = bench.probe_admission(
+        _fake_probe_seq([3.0]), 0.454, 0.0, sleep_fn=clk.sleep, clock=clk
+    )
+    assert ev["satisfied"] is False
+    assert "PROBE_ADMISSION REFUSED" in capsys.readouterr().err
+
+
+def test_campaign_line_schema_pin_raises_not_asserts(monkeypatch):
+    """ADVICE r13: the campaign-line schema pin must be an explicit
+    raise — a bare assert is stripped under python -O and a field
+    drift would pass silently in optimized runs."""
+    monkeypatch.setattr(
+        bench,
+        "CAMPAIGN_LINE_FIELDS",
+        tuple(bench.CAMPAIGN_LINE_FIELDS) + ("future_field",),
+    )
+    with pytest.raises(RuntimeError, match="future_field"):
+        bench.campaign_line({}, kind="suite", run=1, exit_code=0)
+
+
+def test_campaign_runs_keep_stderr_evidence(tmp_path, monkeypatch):
+    """ADVICE r13 (scripts/campaign.py): each bench run's stderr must
+    land in a per-run log next to the sidecar — when a run dies
+    before writing BENCH_SELF.json, the sidecar line carries only an
+    exit code, and the refusal/gate/crash output is the evidence."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "campaign_mod",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts",
+                     "campaign.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = tmp_path / "CAMP.jsonl"
+    calls = []
+
+    def fake_run(argv, cwd=None, stdout=None, stderr=None):
+        # stderr must be a real writable file handle, not DEVNULL.
+        assert hasattr(stderr, "write") and stderr is not None
+        stderr.write("# PROBE_ADMISSION REFUSED: synthetic\n")
+        calls.append(argv)
+
+        class P:
+            returncode = 1
+
+        return P()
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+    monkeypatch.setattr(mod.sys, "argv", ["campaign.py", "2", "0", str(out)])
+    assert mod.main() == 0
+    assert len(calls) == 2
+    for run in (1, 2):
+        log = tmp_path / f"CAMP.run{run}.log"
+        assert log.exists()
+        assert "PROBE_ADMISSION REFUSED" in log.read_text()
+    # The sidecar still records both failed runs (exit-code evidence).
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [l["exit"] for l in lines] == [1, 1]
+
+
+def test_campaign_floors_surfaces_unknown_query(tmp_path, monkeypatch, capsys):
+    """VERDICT r13 item 4: a campaign line carrying a query ABSENT
+    from the merged baseline must be surfaced by the floors reader —
+    in floors() output (baseline_s None, vs_baseline None) AND in the
+    printed report (an 'n/a' row) — never silently dropped, so a
+    future renamed query can't vanish from the floors report."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "campaign_floors_mod",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts",
+                     "campaign_floors.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    path = tmp_path / "c.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({
+            "kind": "suite", "run": 1,
+            "queries": {"q_renamed_future": 2.5, "qa": 1.0},
+            "probe_vs_pin": 1.0, "stream_vs_pin": 1.0,
+            "probe_clean": True,
+        }) + "\n")
+
+    monkeypatch.setattr(bench, "_baseline_timings", lambda: {"qa": 1.0})
+    out = mod.floors(str(path))
+    assert "q_renamed_future" in out
+    assert out["q_renamed_future"]["baseline_s"] is None
+    assert out["q_renamed_future"]["vs_baseline"] is None
+
+    monkeypatch.setattr(mod.sys, "argv", ["campaign_floors.py", str(path)])
+    assert mod.main() == 0
+    report = capsys.readouterr().out
+    assert "q_renamed_future" in report and "n/a" in report
