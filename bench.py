@@ -138,9 +138,19 @@ CLEAN_STREAM_PROBE_S = 1.337
 # and writes them plus the evidence to CLEAN_PROBE.json. When that
 # file exists it overrides the constants everywhere the pins are read
 # (_clean_probe_reference), so a new box re-derives its references
-# with recorded evidence instead of a hand-edited constant. This repo
-# intentionally ships NO CLEAN_PROBE.json — on the original box the
-# constants ARE the reference.
+# with recorded evidence instead of a hand-edited constant. Through
+# r13 this repo intentionally shipped NO CLEAN_PROBE.json — the
+# constants WERE the reference on the original box. As of r14 a
+# derived CLEAN_PROBE.json ships deliberately: the stream class's
+# clean floor shifted structurally on the same box (three rounds /
+# 37+ recordings never ≤1.10x of the 1.337 s pin, then the controlled
+# experiment in scripts/stream_probe_diag.py reproduced the elevation
+# on scan-clean windows and cleared checkpoint-I/O substrate and
+# state-store provider as causes — SCALING.md r14), so the r06-pinned
+# window no longer exists on the current host and judging probe_clean
+# against it permanently reads false. The shipped file was derived
+# under this path's own idle + settled-series + vs-standing gates;
+# the constants below stay as the historical record and the fallback.
 CLEAN_PROBE_FILE = "CLEAN_PROBE.json"
 
 
@@ -773,6 +783,45 @@ def _unsettled_series_error(
     return None
 
 
+# A re-derivation whose values sit far ABOVE the standing reference
+# is almost certainly a hypervisor wave the loadavg-pre gate cannot
+# see, not the box's clean floor: the r14 diagnosis campaign's second
+# derivation attempt read the SCAN probe at 1.904 s — 4.2x the
+# standing reference — at loadavg_pre 0.20, and the settle-tail check
+# passed because the series ended near its (inflated) minimum. A
+# genuine box move to >=1.5x-slower hardware is the one case that
+# legitimately reads this way; it must say so explicitly with
+# SPARK_GRAFT_DERIVE_FORCE=1.
+DERIVE_MAX_VS_STANDING = 1.5
+
+
+def _derivation_vs_standing_error(
+    probe_s: float,
+    stream_probe_s: float,
+    ref: dict,
+    env: dict | None = None,
+    max_ratio: float = DERIVE_MAX_VS_STANDING,
+) -> str | None:
+    """Why a derived recording is NOT acceptable as the new clean
+    reference relative to the standing one, or None. Pure, for the
+    gate tests."""
+    env = os.environ if env is None else env
+    if (env.get("SPARK_GRAFT_DERIVE_FORCE") or "").strip() == "1":
+        return None
+    for label, now, pin in (
+        ("scan", probe_s, ref.get("probe_s")),
+        ("stream", stream_probe_s, ref.get("stream_probe_s")),
+    ):
+        if _pos_num(pin) and now / pin > max_ratio:
+            return (
+                f"{label} probe {now}s reads {now / pin:.2f}x of the "
+                f"standing {pin}s reference (> {max_ratio}x) — a wave "
+                "the loadavg gate cannot see, not a clean floor; for a "
+                "genuine hardware move set SPARK_GRAFT_DERIVE_FORCE=1"
+            )
+    return None
+
+
 def derive_clean_probe(here: str | None = None) -> int:
     """Re-derive the clean-box probe references on NEW hardware and
     write them to CLEAN_PROBE.json (VERDICT r06 item 4) — the portable
@@ -834,6 +883,15 @@ def derive_clean_probe(here: str | None = None) -> int:
     if tail_err:
         print(
             f"# CLEAN-PROBE DERIVATION REFUSED: {tail_err}; nothing written",
+            file=sys.stderr,
+        )
+        return 1
+    vs_err = _derivation_vs_standing_error(
+        probe_s, stream_probe_s, _clean_probe_reference(here)
+    )
+    if vs_err:
+        print(
+            f"# CLEAN-PROBE DERIVATION REFUSED: {vs_err}; nothing written",
             file=sys.stderr,
         )
         return 1

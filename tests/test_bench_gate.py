@@ -1814,6 +1814,17 @@ def test_campaign_line_schema_and_projection(monkeypatch, tmp_path):
     the projection from a full artifact, including the vs-pin ratios
     (worst scan window, settled stream post: the same instruments
     probe_clean judges)."""
+    # Hermetic against a derived CLEAN_PROBE.json in the repo root
+    # (present since the r14 re-pin): judge against the constants.
+    monkeypatch.setattr(
+        bench,
+        "_clean_probe_reference",
+        lambda here=None: {
+            "probe_s": bench.CLEAN_PROBE_S,
+            "stream_probe_s": bench.CLEAN_STREAM_PROBE_S,
+            "derived": False,
+        },
+    )
     art = {
         "sf": 0.1,
         "value": 30.0,
@@ -2044,3 +2055,42 @@ def test_campaign_floors_surfaces_unknown_query(tmp_path, monkeypatch, capsys):
     assert mod.main() == 0
     report = capsys.readouterr().out
     assert "q_renamed_future" in report and "n/a" in report
+
+
+def test_derivation_vs_standing_guard():
+    """r14 field finding: a same-box re-derivation landing on a
+    hypervisor wave (loadavg_pre 0.20, scan probe 4.2x the standing
+    reference, settle-tail check passed because the series ENDED near
+    its inflated minimum) must be refused — values far above the
+    standing reference are a wave, not a clean floor. A genuine
+    hardware move says so explicitly via SPARK_GRAFT_DERIVE_FORCE."""
+    ref = {"probe_s": 0.454, "stream_probe_s": 1.337}
+
+    # At/below or mildly above the standing reference: accepted.
+    assert bench._derivation_vs_standing_error(0.406, 1.576, ref, env={}) is None
+    assert bench._derivation_vs_standing_error(0.454, 1.337, ref, env={}) is None
+    assert bench._derivation_vs_standing_error(0.60, 1.9, ref, env={}) is None
+
+    # The r14 wave recording: scan 1.904 = 4.2x — refused, named.
+    err = bench._derivation_vs_standing_error(1.904, 2.274, ref, env={})
+    assert err is not None and "scan" in err and "4.19x" in err
+
+    # Stream-only elevation past the bar is refused too.
+    err = bench._derivation_vs_standing_error(0.40, 2.1, ref, env={})
+    assert err is not None and "stream" in err
+
+    # Box-move escape hatch: explicit force accepts.
+    assert (
+        bench._derivation_vs_standing_error(
+            1.904, 2.274, ref, env={"SPARK_GRAFT_DERIVE_FORCE": "1"}
+        )
+        is None
+    )
+
+    # Junk standing reference judges nothing (new-box first derive).
+    assert (
+        bench._derivation_vs_standing_error(
+            5.0, 5.0, {"probe_s": None, "stream_probe_s": None}, env={}
+        )
+        is None
+    )
