@@ -1592,6 +1592,139 @@ def force_idleness_error(artifact: dict) -> str | None:
     return None
 
 
+# Full-re-record ratchet guard (r14 field finding): the first
+# recording the re-pinned probe gates accepted read 1.13-1.52x the
+# standing baseline on 22 of 24 queries (median 1.26x) — its settled
+# probe windows were genuinely clean (scan 0.346 s = 0.85x of pin)
+# but a hypervisor wave crossed the suite BETWEEN the brackets
+# (loadavg_pre 5-min tail 4.5). The probes bracket a recording; they
+# do not cover it. Since the r13 campaign floors prove the standing
+# batch bars are still reachable on this box (11/24 at/below
+# baseline), a recording whose MEDIAN per-query ratio vs the standing
+# baseline exceeds this bar is a loaded window, not a new truth —
+# refused without FORCE. Median, not max: a single structurally
+# shifted family (the 5 stream queries of 24) cannot move the median,
+# while a mid-suite wave inflates the board across families.
+RECORD_MAX_MEDIAN_VS_STANDING = 1.10
+
+
+def _record_vs_standing_error(
+    new_queries: dict,
+    standing_queries: dict,
+    max_median: float = RECORD_MAX_MEDIAN_VS_STANDING,
+) -> str | None:
+    """Why a full baseline re-record is a ratchet relative to the
+    standing one, or None. Pure, for the gate tests."""
+    ratios = []
+    for name, old in (standing_queries or {}).items():
+        new = (new_queries or {}).get(name)
+        if _pos_num(old) and _pos_num(new):
+            ratios.append(new / old)
+    if len(ratios) < 3:
+        return None  # too little overlap to judge (fresh repo, renames)
+    med = sorted(ratios)[len(ratios) // 2]
+    if med > max_median:
+        return (
+            f"median per-query ratio {med:.2f}x vs the standing baseline "
+            f"across {len(ratios)} shared queries (> {max_median}x) — a "
+            "mid-suite wave the probe brackets missed, not a clean "
+            "recording (the brackets bound the suite's ends, not its "
+            "middle); re-recording this would loosen every per-query bar"
+        )
+    return None
+
+
+def _patch_baseline_queries(
+    artifact: dict, names_csv: str, path: str, ref: dict
+) -> int:
+    """Targeted reps-parity patch (VERDICT r13 item 2 / r12 item 5):
+    update ONLY the named queries in the standing BENCH_BASELINE.json,
+    and only DOWNWARD — min(observed, standing) — so a patch can
+    tighten a bar or stamp the standing value as already at the
+    multi-rep floor, but can never loosen the gate (the full-record
+    ratchet above is exactly the failure a window-of-the-day patch
+    would reintroduce). The probe + sf gates in maybe_record_baseline
+    have already passed when this runs. Each patch appends a
+    provenance record under ``patches`` (names, old/new values, the
+    recording window's probes and loadavg, the clean reference
+    enforced) so every entry in the file remains traceable to the
+    recording that produced it; ``reps_overrides`` for the named
+    queries are merged in from the patching artifact, which is what
+    stamps the reps parity."""
+    try:
+        standing = _read_bench_json(path)
+    except Exception as e:
+        print(
+            f"# BASELINE PATCH REFUSED: no readable standing baseline at "
+            f"{path} ({e}) — a patch needs a baseline to patch; run a "
+            "full record first",
+            file=sys.stderr,
+        )
+        return 1
+    names = [n.strip() for n in names_csv.split(",") if n.strip()]
+    art_q = artifact.get("queries") or {}
+    std_q = standing.get("queries") or {}
+    missing = [n for n in names if not _pos_num(art_q.get(n))]
+    absent = [n for n in names if n not in std_q]
+    if not names or missing or absent:
+        print(
+            f"# BASELINE PATCH REFUSED: unpatchable queries — not in this "
+            f"recording: {missing}; not in the standing baseline: {absent}",
+            file=sys.stderr,
+        )
+        return 1
+    patched: dict[str, dict] = {}
+    stamped: dict[str, dict] = {}
+    for n in names:
+        new, old = art_q[n], std_q[n]
+        if new < old:
+            std_q[n] = new
+            patched[n] = {"from": old, "to": new}
+        else:
+            stamped[n] = {"standing": old, "observed": new}
+    overrides = dict(standing.get("reps_overrides") or {})
+    for n in names:
+        reps = (artifact.get("reps_overrides") or {}).get(n)
+        if reps:
+            overrides[n] = reps
+    standing["reps_overrides"] = overrides
+    standing["value"] = round(sum(std_q.values()), 3)
+    cal = artifact.get("calibration") or {}
+    standing.setdefault("patches", []).append(
+        {
+            "queries": names,
+            "patched": patched,
+            "stamped": stamped,
+            "sf": artifact.get("sf"),
+            "reps_overrides": {
+                n: (artifact.get("reps_overrides") or {}).get(n) for n in names
+            },
+            "calibration": {
+                k: cal.get(k)
+                for k in (
+                    "probe_s",
+                    "probe_pre_s",
+                    "probe_post_s",
+                    "stream_probe_s",
+                    "stream_probe_pre_s",
+                    "stream_probe_post_s",
+                )
+            },
+            "loadavg_pre": (artifact.get("load") or {}).get("loadavg_pre"),
+            "clean_probe": dict(ref),
+        }
+    )
+    with open(path, "w") as f:
+        json.dump(standing, f)
+        f.write("\n")
+    print(
+        f"# BASELINE PATCHED at {path}: tightened {sorted(patched)} "
+        f"(stamped-at-floor {sorted(stamped)})",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def maybe_record_baseline(artifact: dict, here: str | None = None) -> int:
     """When SPARK_GRAFT_RECORD_BASELINE=1, write ``artifact`` to
     BENCH_BASELINE.json — REFUSING a recording whose own probe fails
@@ -1655,6 +1788,26 @@ def maybe_record_baseline(artifact: dict, here: str | None = None) -> int:
             print(f"# BASELINE REFUSED even under FORCE: {ferr}", file=sys.stderr)
             return 1
         print(f"# BASELINE FORCED despite: {err}", file=sys.stderr)
+    names_csv = (os.environ.get("SPARK_GRAFT_RECORD_BASELINE_QUERIES") or "").strip()
+    if names_csv:
+        # Targeted reps-parity patch: same sf + probe gates as a full
+        # record (they just passed above), but only the named entries
+        # change, and only downward.
+        return _patch_baseline_queries(artifact, names_csv, path, ref)
+    try:
+        standing_q = (_read_bench_json(path)).get("queries") or {}
+    except Exception:
+        standing_q = {}
+    rerr = _record_vs_standing_error(artifact.get("queries") or {}, standing_q)
+    if rerr:
+        if not os.environ.get("SPARK_GRAFT_BASELINE_FORCE"):
+            print(f"# BASELINE REFUSED: {rerr}", file=sys.stderr)
+            return 1
+        ferr = force_idleness_error(artifact)
+        if ferr:
+            print(f"# BASELINE REFUSED even under FORCE: {ferr}", file=sys.stderr)
+            return 1
+        print(f"# BASELINE FORCED despite: {rerr}", file=sys.stderr)
     # The artifact's calibration.clean_probe was stamped by
     # report_and_gate from bench.py's OWN directory; with a custom
     # ``here`` this gate may have judged against a different reference

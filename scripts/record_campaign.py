@@ -11,8 +11,14 @@ write is by construction the reps-parity re-record the verdict asks
 for (bench times the three floored queries best-of-5 via
 reps_overrides).
 
+With SPARK_GRAFT_RECORD_BASELINE_QUERIES="a,b,c" in the environment
+(inherited by each run), the accepted recording lands as a targeted
+reps-parity PATCH — only the named entries, only downward — instead
+of a full re-record; the full path is guarded by the median-vs-
+standing ratchet check either way (bench._record_vs_standing_error).
+
 Usage: python scripts/record_campaign.py [N=12] [GAP_MIN=8] [OUT=CAMPAIGN_r14.jsonl]
-Exit 0 if a baseline was recorded, 3 if the campaign exhausted N runs.
+Exit 0 if a baseline was recorded/patched, 3 if the campaign exhausted N runs.
 """
 
 from __future__ import annotations

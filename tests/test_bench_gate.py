@@ -2094,3 +2094,88 @@ def test_derivation_vs_standing_guard():
         )
         is None
     )
+
+
+def test_record_vs_standing_ratchet_guard():
+    """r14 field finding: the first recording the re-pinned gates
+    accepted read a 1.26x MEDIAN vs the standing baseline (a wave
+    crossed the suite between clean probe brackets). A full re-record
+    whose median per-query ratio exceeds 1.10x must be refused;
+    a genuinely clean or improved recording passes; one structurally
+    shifted family among many cannot move the median."""
+    standing = {f"q{i}": 1.0 for i in range(24)}
+
+    # The field shape: ~all queries 1.13-1.52x -> refused, named.
+    waved = {k: 1.26 for k in standing}
+    err = bench._record_vs_standing_error(waved, standing)
+    assert err is not None and "1.26x" in err
+
+    # Clean recording at parity / improvement: accepted.
+    assert bench._record_vs_standing_error(dict(standing), standing) is None
+    assert (
+        bench._record_vs_standing_error({k: 0.9 for k in standing}, standing)
+        is None
+    )
+
+    # A 5-of-24 family shift (streams) leaves the median at 1.0.
+    shifted = {k: (1.4 if i < 5 else 1.0) for i, k in enumerate(standing)}
+    assert bench._record_vs_standing_error(shifted, standing) is None
+
+    # Too little overlap judges nothing (fresh repo / renames).
+    assert bench._record_vs_standing_error({"a": 9.0}, {"a": 1.0}) is None
+    assert bench._record_vs_standing_error({}, standing) is None
+
+
+def test_patch_baseline_queries_tightens_never_loosens(tmp_path, capsys):
+    """VERDICT r13 item 2: the reps-parity patch updates ONLY the
+    named queries, only DOWNWARD (min(observed, standing)), merges
+    their reps_overrides, recomputes the sum, and appends a
+    provenance record — so the parity stamp can never reintroduce
+    the full-record ratchet."""
+    path = str(tmp_path / "BENCH_BASELINE.json")
+    standing = {
+        "value": 4.0,
+        "queries": {"qa": 2.0, "qb": 1.0, "qc": 1.0},
+        "reps_overrides": {"qc": 5},
+        "calibration": {"probe_s": 0.335},
+    }
+    with open(path, "w") as f:
+        json.dump(standing, f)
+
+    artifact = {
+        "sf": 0.1,
+        "queries": {"qa": 1.8, "qb": 1.4, "qc": 0.9},
+        "reps_overrides": {"qa": 5, "qb": 5},
+        "calibration": {"probe_s": 0.41, "stream_probe_s": 1.6},
+        "load": {"loadavg_pre": [0.5, 1.0, 1.5]},
+    }
+    ref = {"probe_s": 0.406, "stream_probe_s": 1.576, "derived": True}
+    rc = bench._patch_baseline_queries(artifact, "qa,qb", path, ref)
+    assert rc == 0
+    out = json.load(open(path))
+    # qa tightened 2.0 -> 1.8; qb observed 1.4 ABOVE standing 1.0:
+    # stamped at the floor, NOT loosened.
+    assert out["queries"] == {"qa": 1.8, "qb": 1.0, "qc": 1.0}
+    assert out["value"] == 3.8
+    # reps parity stamped for the named queries; qc's survives.
+    assert out["reps_overrides"] == {"qa": 5, "qb": 5, "qc": 5}
+    p = out["patches"][-1]
+    assert p["patched"] == {"qa": {"from": 2.0, "to": 1.8}}
+    assert p["stamped"] == {"qb": {"standing": 1.0, "observed": 1.4}}
+    assert p["clean_probe"] == ref and p["sf"] == 0.1
+    assert "BASELINE PATCHED" in capsys.readouterr().err
+
+    # Refusals: a query absent from the recording or the standing
+    # baseline, and a missing standing file.
+    assert bench._patch_baseline_queries(artifact, "nope", path, ref) == 1
+    assert "not in this recording" in capsys.readouterr().err
+    artifact2 = dict(artifact, queries={"zz": 1.0})
+    assert bench._patch_baseline_queries(artifact2, "zz", path, ref) == 1
+    assert "not in the standing baseline" in capsys.readouterr().err
+    assert (
+        bench._patch_baseline_queries(
+            artifact, "qa", str(tmp_path / "missing.json"), ref
+        )
+        == 1
+    )
+    assert "no readable standing baseline" in capsys.readouterr().err
