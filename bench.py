@@ -79,6 +79,18 @@ HEADLINE = [
 # artifact.
 REGRESSION_FACTOR = 2.0
 DRIFT_CAP = 1.5
+# Raw-ratio retry bar (VERDICT r14 item 1): the phantom-stall retry
+# used to fire only on the drift-CREDITED regression set, so a reading
+# in the band [2.0x raw, 2.0x * credited_drift) landed in the official
+# artifact with ZERO retry reps — exactly when the box is loaded and a
+# retry is most likely to help (r14: dedup_minhash_lsh recorded 2.08x
+# raw unretried under a 1.087 scan credit while seven milder offenders
+# earned 6-rep retries that improved 1.4-2.4x). The judge's 2x line is
+# raw, so any query whose best rep exceeds this factor of its standing
+# baseline UNCREDITED also earns retry reps. Gate math is untouched —
+# regressions are still judged drift-credited; this only buys timing
+# attempts.
+RAW_RETRY_FACTOR = 1.8
 # The suite-wide backstop judges the gated-set SUM at a TIGHTER factor
 # than the per-query bar: a broad 1.6-1.9x slowdown never trips any
 # per-query flag (and with strict > at the same factor, a sum check at
@@ -664,6 +676,42 @@ def find_regressions(
     return out
 
 
+def find_raw_retry_flags(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    factor: float = RAW_RETRY_FACTOR,
+) -> list[str]:
+    """Names whose recorded timing exceeds ``factor`` times their
+    standing baseline with NO drift credit (VERDICT r14 item 1). Pure,
+    for the gate tests; see RAW_RETRY_FACTOR for why the uncredited
+    ratio matters independently of find_regressions."""
+    return [
+        n
+        for n, dt in timings.items()
+        if n in baseline and _pos_num(baseline.get(n)) and dt > factor * baseline[n]
+    ]
+
+
+def retry_flags(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    drift: float | dict[str, float] = 1.0,
+) -> list[str]:
+    """The queries whose timings earn phantom-stall retry reps: the
+    UNION of the drift-credited regression set (find_regressions, the
+    gate's own flags) and the raw-ratio offenders (find_raw_retry_flags
+    — a >RAW_RETRY_FACTOR uncredited reading must never stand unretried
+    just because the drift credit pushed the credited bar above it;
+    VERDICT r14 item 1). The synthetic ``__suite__`` entry is not a
+    query and cannot be retried. Order follows ``timings`` so retry
+    order is deterministic. Pure, for the gate tests."""
+    flags = set(find_regressions(timings, baseline, drift)) | set(
+        find_raw_retry_flags(timings, baseline)
+    )
+    flags.discard("__suite__")
+    return [n for n in timings if n in flags]
+
+
 def _streaming_warmup(spark, sf_dir: str) -> None:
     import tempfile
 
@@ -804,18 +852,38 @@ def _derivation_vs_standing_error(
 ) -> str | None:
     """Why a derived recording is NOT acceptable as the new clean
     reference relative to the standing one, or None. Pure, for the
-    gate tests."""
+    gate tests.
+
+    ADVICE r14: once a derived CLEAN_PROBE.json stands, the "standing
+    reference" IS the previous derivation, so judging only against it
+    lets successive derivations each drift up to max_ratio of the last
+    — 1.5^n compounding loosening without FORCE ever being set. Each
+    pin is therefore judged against min(standing, original pinned
+    constant): cumulative drift from CLEAN_PROBE_S /
+    CLEAN_STREAM_PROBE_S is capped at max_ratio on this box forever.
+    A genuine move to >=max_ratio-slower hardware must say so with
+    SPARK_GRAFT_DERIVE_FORCE=1 on each derivation — loud is the point.
+    A junk standing pin (hand-built ref on a fresh box) still judges
+    nothing for that label, preserving the first-derive path."""
     env = os.environ if env is None else env
     if (env.get("SPARK_GRAFT_DERIVE_FORCE") or "").strip() == "1":
         return None
-    for label, now, pin in (
-        ("scan", probe_s, ref.get("probe_s")),
-        ("stream", stream_probe_s, ref.get("stream_probe_s")),
+    for label, now, pin, const in (
+        ("scan", probe_s, ref.get("probe_s"), CLEAN_PROBE_S),
+        ("stream", stream_probe_s, ref.get("stream_probe_s"), CLEAN_STREAM_PROBE_S),
     ):
-        if _pos_num(pin) and now / pin > max_ratio:
+        if not _pos_num(pin):
+            continue
+        bound = min(pin, const)
+        if now / bound > max_ratio:
+            src = (
+                "standing"
+                if bound == pin
+                else "pinned-constant (cumulative-drift bound)"
+            )
             return (
-                f"{label} probe {now}s reads {now / pin:.2f}x of the "
-                f"standing {pin}s reference (> {max_ratio}x) — a wave "
+                f"{label} probe {now}s reads {now / bound:.2f}x of the "
+                f"{src} {bound}s reference (> {max_ratio}x) — a wave "
                 "the loadavg gate cannot see, not a clean floor; for a "
                 "genuine hardware move set SPARK_GRAFT_DERIVE_FORCE=1"
             )
@@ -1418,13 +1486,17 @@ def main() -> int:
     # is a MISMATCH, not a bye' rule in maybe_record_baseline — an
     # unknown-scale run must not burn retry reps defending a gate that
     # report_and_gate will (rightly) never render.
+    # VERDICT r14 item 1: flag the UNION of drift-credited regressions
+    # and raw-ratio (uncredited) offenders — retry_flags — so a loaded
+    # window can never leave a >RAW_RETRY_FACTOR-raw reading in the
+    # artifact with zero retry attempts.
     flagged = (
         []
         if (base_sf_now and (not sf or sf != base_sf_now))
         else [
             n
-            for n in find_regressions(timings, _baseline_timings(), drift_now)
-            if n != "__suite__" and n in qs
+            for n in retry_flags(timings, _baseline_timings(), drift_now)
+            if n in qs
         ]
     )
     retried: dict[str, int] = {}
@@ -1689,12 +1761,31 @@ def _patch_baseline_queries(
             overrides[n] = reps
     standing["reps_overrides"] = overrides
     standing["value"] = round(sum(std_q.values()), 3)
+    # ADVICE r14: a tightening patch must not leave derived sibling
+    # fields describing the PRE-patch sum — readers of the standing
+    # baseline would see two different suite sums. comparable.sum_now
+    # is that same sum, so it moves with value; wall_s described ONE
+    # recording's wall clock, which no longer corresponds to anything
+    # once per-query values mix recording vintages, so it is dropped
+    # and the drop noted in the provenance record. The timing string
+    # stays accurate as written ("floored per reps_overrides" — the
+    # overrides were just merged above). Stamp-only patches (patched
+    # empty) change no value, so nothing is stale and nothing moves.
+    dropped_stale: list[str] = []
+    if patched:
+        comp = standing.get("comparable")
+        if isinstance(comp, dict) and "sum_now" in comp:
+            comp["sum_now"] = standing["value"]
+        if "wall_s" in standing:
+            del standing["wall_s"]
+            dropped_stale.append("wall_s")
     cal = artifact.get("calibration") or {}
     standing.setdefault("patches", []).append(
         {
             "queries": names,
             "patched": patched,
             "stamped": stamped,
+            "dropped_stale": dropped_stale,
             "sf": artifact.get("sf"),
             "reps_overrides": {
                 n: (artifact.get("reps_overrides") or {}).get(n) for n in names

@@ -119,7 +119,18 @@ def _drain_once(rs, df, mode: str, ckpt_base: str, provider: str | None) -> floa
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # ADVICE r14: awaitTermination(timeout) returns False when the
+        # bound is hit with the drain still running — counting partial
+        # results then would record ~300s as a valid variant reading
+        # and silently pollute the diag evidence. A timed-out drain is
+        # a broken experiment, not a data point: stop the query and
+        # raise so the cycle aborts loudly.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"diag drain {name} did not terminate within 300s — "
+                "reading invalid, aborting this cycle"
+            )
         rs.table(name).count()
         elapsed = round(time.time() - t0, 3)
     finally:

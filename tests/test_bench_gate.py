@@ -2179,3 +2179,116 @@ def test_patch_baseline_queries_tightens_never_loosens(tmp_path, capsys):
         == 1
     )
     assert "no readable standing baseline" in capsys.readouterr().err
+
+
+def test_raw_ratio_retry_truth_table():
+    """VERDICT r14 item 1: the phantom-stall retry must also fire on
+    the RAW (drift-uncredited) ratio. The r14 field shape: a 1.9x-raw
+    reading on a drift-1.3 window sits below the credited regression
+    bar (2.0 * 1.3 = 2.6x) but above the judge's 2x raw line's retry
+    margin — it must be retried; a 1.7x-raw reading must not; a real
+    credited regression keeps its flag; the synthetic __suite__ entry
+    never earns a "retry"."""
+    baseline = {"a": 1.0, "b": 1.0, "c": 1.0}
+
+    # Pure raw trigger: 1.9x raw flagged regardless of drift credit.
+    assert bench.find_raw_retry_flags({"a": 1.9}, baseline) == ["a"]
+    # 1.7x raw: under the 1.8 bar, not flagged.
+    assert bench.find_raw_retry_flags({"b": 1.7}, baseline) == []
+    # Missing or junk baselines judge nothing.
+    assert bench.find_raw_retry_flags({"zz": 9.0}, baseline) == []
+    assert bench.find_raw_retry_flags({"a": 9.0}, {"a": 0.0}) == []
+
+    # The union: drift 1.3 -> credited bar 2.6x. a=1.9x (raw-only
+    # flag), b=1.7x (no flag), c=5.0x (credited regression AND raw).
+    # The suite sum 8.6 > 1.5 * 1.3 * 3 trips __suite__ inside
+    # find_regressions — it must NOT leak into the retry list.
+    timings = {"a": 1.9, "b": 1.7, "c": 5.0}
+    regs = find_regressions(timings, baseline, 1.3)
+    assert "__suite__" in regs and "c" in regs and "a" not in regs
+    assert bench.retry_flags(timings, baseline, 1.3) == ["a", "c"]
+
+    # Clean window (drift 1.0): c is a credited regression, a is still
+    # raw-flagged (1.9 < 2.0 credited bar but > 1.8 raw bar).
+    assert bench.retry_flags(timings, baseline, 1.0) == ["a", "c"]
+
+    # Nothing over either bar: no retries.
+    assert bench.retry_flags({"a": 1.0, "b": 1.79}, baseline, 1.0) == []
+
+
+def test_derivation_bounded_by_pinned_constants():
+    """ADVICE r14: once CLEAN_PROBE.json stands, the standing reference
+    IS the previous derivation, so judging only against it compounds
+    1.5x loosening per derivation. Each pin is judged against
+    min(standing, original pinned constant), capping CUMULATIVE drift
+    from CLEAN_PROBE_S / CLEAN_STREAM_PROBE_S at the max ratio."""
+    # The shipped r14 state: stream pin 1.576 sits ABOVE the 1.337
+    # constant. A re-derivation at 2.1s is 1.33x of the standing pin
+    # (old guard: accepted) but 1.57x of the constant — refused.
+    ref = {"probe_s": 0.406, "stream_probe_s": 1.576}
+    err = bench._derivation_vs_standing_error(0.40, 2.1, ref, env={})
+    assert err is not None and "stream" in err and "pinned-constant" in err
+
+    # Within the cumulative bound: accepted (1.9 / 1.337 = 1.42x).
+    assert bench._derivation_vs_standing_error(0.40, 1.9, ref, env={}) is None
+
+    # Scan side: standing 0.406 is BELOW the 0.454 constant, so the
+    # tighter standing pin is the bound (0.65 / 0.406 = 1.60x refused
+    # even though 0.65 / 0.454 = 1.43x would pass vs the constant).
+    err = bench._derivation_vs_standing_error(0.65, 1.5, ref, env={})
+    assert err is not None and "scan" in err and "standing" in err
+
+    # FORCE still escapes for a genuine hardware move.
+    assert (
+        bench._derivation_vs_standing_error(
+            0.40, 2.1, ref, env={"SPARK_GRAFT_DERIVE_FORCE": "1"}
+        )
+        is None
+    )
+
+
+def test_patch_baseline_updates_sibling_fields(tmp_path, capsys):
+    """ADVICE r14: a tightening patch recomputes value but used to
+    leave comparable.sum_now and wall_s describing the PRE-patch
+    recording — the standing baseline showed two different suite sums.
+    sum_now must move with value, wall_s (one recording's wall clock,
+    meaningless across mixed vintages) is dropped and the drop
+    recorded; a stamp-only patch changes no value so nothing moves."""
+    path = str(tmp_path / "BENCH_BASELINE.json")
+    standing = {
+        "value": 4.0,
+        "wall_s": 86.1,
+        "comparable": {"queries": 3, "sum_now": 4.0, "sum_baseline": 5.0},
+        "queries": {"qa": 2.0, "qb": 1.0, "qc": 1.0},
+        "reps_overrides": {},
+    }
+    with open(path, "w") as f:
+        json.dump(standing, f)
+    ref = {"probe_s": 0.406, "stream_probe_s": 1.576, "derived": True}
+
+    # Stamp-only patch first: observed above standing -> no tightening,
+    # siblings untouched (they are not stale).
+    stamp_art = {
+        "sf": 0.1,
+        "queries": {"qa": 2.5},
+        "reps_overrides": {"qa": 5},
+        "calibration": {},
+        "load": {},
+    }
+    assert bench._patch_baseline_queries(stamp_art, "qa", path, ref) == 0
+    out = json.load(open(path))
+    assert out["value"] == 4.0 and out["wall_s"] == 86.1
+    assert out["comparable"]["sum_now"] == 4.0
+    assert out["patches"][-1]["dropped_stale"] == []
+
+    # Tightening patch: qa 2.0 -> 1.8; value and sum_now move together,
+    # wall_s dropped and the drop is in the provenance record.
+    tighten_art = dict(stamp_art, queries={"qa": 1.8})
+    assert bench._patch_baseline_queries(tighten_art, "qa", path, ref) == 0
+    out = json.load(open(path))
+    assert out["value"] == 3.8
+    assert out["comparable"]["sum_now"] == 3.8
+    assert out["comparable"]["sum_baseline"] == 5.0  # untouched
+    assert "wall_s" not in out
+    assert out["patches"][-1]["dropped_stale"] == ["wall_s"]
+    capsys.readouterr()
