@@ -27,6 +27,28 @@ sys.path.insert(0, HERE)
 
 import bench  # noqa: E402
 
+# Vintage annotations (VERDICT r14 item 3): bars recorded under a
+# probe class the r14 controlled experiment proved extinct
+# (STREAM_PROBE_DIAG.json — the stream machinery class shifted
+# structurally ~x1.18 on this host) structurally floor above 1.0x and
+# can never clear. The stamp-at-floor patch protocol refuses to loosen
+# them (correctly), so the floors report carries the adjusted
+# expectation instead: adjusted = baseline_s * (current clean stream
+# pin / the pin vintage the bar was recorded under). The factor is
+# derived from the two recorded pins, never hand-typed; annotation
+# applies only when the current pin is SLOWER than the recorded one
+# (a faster class would demand a re-record, not an annotation).
+VINTAGE_FILE = "BASELINE_VINTAGE.json"
+
+
+def _vintage_adjustments(here: str = HERE) -> dict[str, dict]:
+    try:
+        with open(os.path.join(here, VINTAGE_FILE)) as f:
+            d = json.load(f)
+        return d if isinstance(d, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
 
 def floors(path: str) -> dict[str, dict]:
     """{query: {floor_s, kind, run, probe_vs_pin, stream_vs_pin,
@@ -55,10 +77,27 @@ def floors(path: str) -> dict[str, dict]:
                         "probe_clean": line.get("probe_clean"),
                     }
     baseline = bench._baseline_timings()
+    vintage = _vintage_adjustments()
+    cur_pin = bench._clean_probe_reference().get("stream_probe_s")
     for q, rec in best.items():
         b = baseline.get(q)
         rec["baseline_s"] = b
         rec["vs_baseline"] = round(rec["floor_s"] / b, 3) if b else None
+        rec["vintage_adjusted_baseline_s"] = None
+        rec["vs_vintage_adjusted"] = None
+        ann = vintage.get(q) or {}
+        old_pin = ann.get("recorded_stream_pin_s")
+        if (
+            b
+            and isinstance(old_pin, (int, float))
+            and not isinstance(old_pin, bool)
+            and old_pin > 0
+            and isinstance(cur_pin, (int, float))
+            and cur_pin > old_pin
+        ):
+            adj = b * (cur_pin / old_pin)
+            rec["vintage_adjusted_baseline_s"] = round(adj, 3)
+            rec["vs_vintage_adjusted"] = round(rec["floor_s"] / adj, 3)
     return best
 
 
@@ -77,8 +116,14 @@ def main() -> int:
     for q in sorted(best, key=lambda q: -(best[q]["vs_baseline"] or 0)):
         r = best[q]
         vs = f"{r['vs_baseline']:.2f}x" if r["vs_baseline"] else "  n/a"
+        adj = (
+            f"  adj {r['vs_vintage_adjusted']:.2f}x"
+            f" (vintage bar {r['vintage_adjusted_baseline_s']}s)"
+            if r.get("vs_vintage_adjusted")
+            else ""
+        )
         print(
-            f"{q:<{width}}  floor {r['floor_s']:>7.3f}s  vs_baseline {vs}"
+            f"{q:<{width}}  floor {r['floor_s']:>7.3f}s  vs_baseline {vs}{adj}"
             f"  window scan {r['probe_vs_pin']} stream {r['stream_vs_pin']}"
             f"  ({r['kind']} run {r['run']})"
         )

@@ -2292,3 +2292,66 @@ def test_patch_baseline_updates_sibling_fields(tmp_path, capsys):
     assert "wall_s" not in out
     assert out["patches"][-1]["dropped_stale"] == ["wall_s"]
     capsys.readouterr()
+
+
+def test_campaign_floors_vintage_adjustment(tmp_path, monkeypatch):
+    """VERDICT r14 item 3: a bar recorded under the extinct pre-shift
+    stream class structurally floors above 1.0x and the stamp-at-floor
+    patch (correctly) refuses to loosen it — so the floors report must
+    carry the adjusted expectation baseline * (current clean stream
+    pin / recorded pin vintage), derived from the two pins and applied
+    ONLY when the current class is slower; un-annotated queries and a
+    faster-current-pin case stay untouched."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "campaign_floors",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts",
+                     "campaign_floors.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # Missing/corrupt annotation file reads as no annotations (checked
+    # before the function is monkeypatched below).
+    assert mod._vintage_adjustments(str(tmp_path)) == {}
+
+    path = tmp_path / "c.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({
+            "kind": "suite", "run": 1,
+            "queries": {"wm_join": 3.374, "other": 1.0},
+            "probe_vs_pin": 1.0, "stream_vs_pin": 1.0, "probe_clean": True,
+        }) + "\n")
+
+    monkeypatch.setattr(
+        bench, "_baseline_timings", lambda: {"wm_join": 2.702, "other": 1.0}
+    )
+    monkeypatch.setattr(
+        bench,
+        "_clean_probe_reference",
+        lambda here=None: {"probe_s": 0.406, "stream_probe_s": 1.576,
+                           "derived": True},
+    )
+    monkeypatch.setattr(
+        mod,
+        "_vintage_adjustments",
+        lambda here=None: {"wm_join": {"recorded_stream_pin_s": 1.337}},
+    )
+    out = mod.floors(str(path))
+    # 2.702 * (1.576/1.337) = 3.185; floor 3.374 -> 1.059x adjusted
+    # (vs 1.249x raw) — the r14 field numbers.
+    assert out["wm_join"]["vs_baseline"] == 1.249
+    assert out["wm_join"]["vintage_adjusted_baseline_s"] == 3.185
+    assert out["wm_join"]["vs_vintage_adjusted"] == 1.059
+    assert out["other"]["vs_vintage_adjusted"] is None
+
+    # Current pin FASTER than the recorded vintage: no adjustment —
+    # a faster class demands a re-record, not an annotation.
+    monkeypatch.setattr(
+        mod,
+        "_vintage_adjustments",
+        lambda here=None: {"wm_join": {"recorded_stream_pin_s": 2.0}},
+    )
+    out = mod.floors(str(path))
+    assert out["wm_join"]["vs_vintage_adjusted"] is None
