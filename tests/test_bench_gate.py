@@ -2355,3 +2355,46 @@ def test_campaign_floors_vintage_adjustment(tmp_path, monkeypatch):
     )
     out = mod.floors(str(path))
     assert out["wm_join"]["vs_vintage_adjusted"] is None
+
+
+def test_campaign_admission_tally(tmp_path):
+    """VERDICT r14 item 5: the admission-outcome table in SCALING.md
+    must be derived from the sidecar. The tally partitions probe_clean
+    true/false/unknown per kind and overall, reports vs-pin
+    distributions, skips torn lines, and counts probe-less lines as
+    'unknown' (no evidence is not evidence of a clean window)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "campaign_admission",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts",
+                     "campaign_admission.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    path = tmp_path / "c.jsonl"
+    lines = [
+        {"kind": "suite", "probe_clean": True, "probe_vs_pin": 0.98,
+         "stream_vs_pin": 1.01},
+        {"kind": "suite", "probe_clean": False, "probe_vs_pin": 1.40,
+         "stream_vs_pin": 1.30},
+        {"kind": "record", "probe_clean": False, "probe_vs_pin": 1.10,
+         "stream_vs_pin": 1.12},
+        {"kind": "record", "probe_clean": None},  # died pre-probe
+    ]
+    with open(path, "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+        f.write("{torn\n")
+
+    t = mod.tally(str(path))
+    assert t["overall"]["runs"] == 4
+    assert t["overall"]["clean_true"] == 1
+    assert t["overall"]["clean_false"] == 2
+    assert t["overall"]["clean_unknown"] == 1
+    assert t["overall"]["clean_frac"] == 0.25
+    assert t["by_kind"]["suite"]["scan_vs_pin"] == {
+        "n": 2, "min": 0.98, "median": 1.4, "max": 1.4,
+    }
+    assert t["by_kind"]["record"]["stream_vs_pin"]["n"] == 1
