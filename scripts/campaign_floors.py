@@ -112,6 +112,11 @@ def main() -> int:
     if as_json:
         print(json.dumps(best, sort_keys=True))
         return 0
+    # `... | head` closes stdout early; that is a normal way to read
+    # this report, not an error worth a traceback in the evidence log.
+    import signal
+
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     width = max((len(q) for q in best), default=10)
     for q in sorted(best, key=lambda q: -(best[q]["vs_baseline"] or 0)):
         r = best[q]
