@@ -1761,24 +1761,26 @@ def _patch_baseline_queries(
             overrides[n] = reps
     standing["reps_overrides"] = overrides
     standing["value"] = round(sum(std_q.values()), 3)
-    # ADVICE r14: a tightening patch must not leave derived sibling
-    # fields describing the PRE-patch sum — readers of the standing
-    # baseline would see two different suite sums. comparable.sum_now
-    # is that same sum, so it moves with value; wall_s described ONE
-    # recording's wall clock, which no longer corresponds to anything
-    # once per-query values mix recording vintages, so it is dropped
-    # and the drop noted in the provenance record. The timing string
-    # stays accurate as written ("floored per reps_overrides" — the
+    # ADVICE r14/r15: a tightening patch must not leave derived
+    # sibling fields describing the PRE-patch recording. wall_s (one
+    # recording's wall clock) and the whole comparable block are both
+    # that recording's view — sum_now was computed over the GATED
+    # subset (queries present in the then-prior baseline), so setting
+    # it to the full-suite value here (the r14 fix) silently
+    # conflated the comparable subset with the suite sum whenever the
+    # standing baseline carried an entry the prior baseline lacked.
+    # Neither field can be recomputed faithfully once per-query
+    # values mix recording vintages, so both are dropped and the
+    # drops noted in the provenance record. The timing string stays
+    # accurate as written ("floored per reps_overrides" — the
     # overrides were just merged above). Stamp-only patches (patched
     # empty) change no value, so nothing is stale and nothing moves.
     dropped_stale: list[str] = []
     if patched:
-        comp = standing.get("comparable")
-        if isinstance(comp, dict) and "sum_now" in comp:
-            comp["sum_now"] = standing["value"]
-        if "wall_s" in standing:
-            del standing["wall_s"]
-            dropped_stale.append("wall_s")
+        for stale in ("comparable", "wall_s"):
+            if stale in standing:
+                del standing[stale]
+                dropped_stale.append(stale)
     cal = artifact.get("calibration") or {}
     standing.setdefault("patches", []).append(
         {

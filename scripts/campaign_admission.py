@@ -27,10 +27,16 @@ def _dist(vals: list[float]) -> dict | None:
     )
     if not vals:
         return None
+    # ADVICE r15: vals[n//2] is the upper-middle element for even n —
+    # a biased-high "median" for the vs-pin distributions the <10%
+    # clean-windows trigger discussion leans on. True median: average
+    # the two middle elements when n is even.
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
     return {
         "n": len(vals),
         "min": vals[0],
-        "median": vals[len(vals) // 2],
+        "median": round(med, 6),
         "max": vals[-1],
     }
 

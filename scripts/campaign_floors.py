@@ -114,9 +114,12 @@ def main() -> int:
         return 0
     # `... | head` closes stdout early; that is a normal way to read
     # this report, not an error worth a traceback in the evidence log.
+    # ADVICE r15: SIGPIPE is Unix-only — guard so a non-POSIX host
+    # still prints the report instead of raising AttributeError.
     import signal
 
-    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    if hasattr(signal, "SIGPIPE"):
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     width = max((len(q) for q in best), default=10)
     for q in sorted(best, key=lambda q: -(best[q]["vs_baseline"] or 0)):
         r = best[q]

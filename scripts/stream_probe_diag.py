@@ -126,7 +126,14 @@ def _drain_once(rs, df, mode: str, ckpt_base: str, provider: str | None) -> floa
         # a broken experiment, not a data point: stop the query and
         # raise so the cycle aborts loudly.
         if not q.awaitTermination(300):
-            q.stop()
+            # ADVICE r15: a hung query's stop() can itself throw; if
+            # it does, it must not mask the diagnosis below — the
+            # evidence log needs the 'did not terminate' RuntimeError,
+            # not whatever stop() died with.
+            try:
+                q.stop()
+            except Exception:
+                pass
             raise RuntimeError(
                 f"diag drain {name} did not terminate within 300s — "
                 "reading invalid, aborting this cycle"

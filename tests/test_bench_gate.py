@@ -2248,11 +2248,14 @@ def test_derivation_bounded_by_pinned_constants():
 
 
 def test_patch_baseline_updates_sibling_fields(tmp_path, capsys):
-    """ADVICE r14: a tightening patch recomputes value but used to
-    leave comparable.sum_now and wall_s describing the PRE-patch
-    recording — the standing baseline showed two different suite sums.
-    sum_now must move with value, wall_s (one recording's wall clock,
-    meaningless across mixed vintages) is dropped and the drop
+    """ADVICE r14 + r15: a tightening patch recomputes value but used
+    to leave comparable.sum_now and wall_s describing the PRE-patch
+    recording. The r14 fix set sum_now = value, but sum_now is a
+    GATED-subset sum (queries present in the then-prior baseline) —
+    equating it with the full-suite value conflates the two whenever
+    the standing baseline carries an entry the prior baseline lacked
+    (ADVICE r15). Neither field is recomputable across mixed
+    vintages, so BOTH comparable and wall_s are dropped and the drops
     recorded; a stamp-only patch changes no value so nothing moves."""
     path = str(tmp_path / "BENCH_BASELINE.json")
     standing = {
@@ -2281,16 +2284,16 @@ def test_patch_baseline_updates_sibling_fields(tmp_path, capsys):
     assert out["comparable"]["sum_now"] == 4.0
     assert out["patches"][-1]["dropped_stale"] == []
 
-    # Tightening patch: qa 2.0 -> 1.8; value and sum_now move together,
-    # wall_s dropped and the drop is in the provenance record.
+    # Tightening patch: qa 2.0 -> 1.8; value moves, the stale
+    # single-recording views (comparable, wall_s) are dropped and the
+    # drops are in the provenance record.
     tighten_art = dict(stamp_art, queries={"qa": 1.8})
     assert bench._patch_baseline_queries(tighten_art, "qa", path, ref) == 0
     out = json.load(open(path))
     assert out["value"] == 3.8
-    assert out["comparable"]["sum_now"] == 3.8
-    assert out["comparable"]["sum_baseline"] == 5.0  # untouched
+    assert "comparable" not in out
     assert "wall_s" not in out
-    assert out["patches"][-1]["dropped_stale"] == ["wall_s"]
+    assert out["patches"][-1]["dropped_stale"] == ["comparable", "wall_s"]
     capsys.readouterr()
 
 
@@ -2394,7 +2397,10 @@ def test_campaign_admission_tally(tmp_path):
     assert t["overall"]["clean_false"] == 2
     assert t["overall"]["clean_unknown"] == 1
     assert t["overall"]["clean_frac"] == 0.25
+    # ADVICE r15: even-n median averages the two middle elements
+    # (was vals[n//2] = 1.4, biased high).
     assert t["by_kind"]["suite"]["scan_vs_pin"] == {
-        "n": 2, "min": 0.98, "median": 1.4, "max": 1.4,
+        "n": 2, "min": 0.98, "median": 1.19, "max": 1.4,
     }
-    assert t["by_kind"]["record"]["stream_vs_pin"]["n"] == 1
+    rec_stream = t["by_kind"]["record"]["stream_vs_pin"]
+    assert rec_stream["n"] == 1 and rec_stream["median"] == 1.12
