@@ -2184,7 +2184,31 @@ CAMPAIGN_LINE_FIELDS = (
     "regressions",   # sorted flagged names (suite; [] none, None ungated)
     "retried",       # sorted retried names (suite)
     "exit",          # bench.py exit code (suite; None when unknown/solo)
+    "log",           # repo-relative per-run stderr log path (None when
+                     # the producer keeps no per-run log, e.g. solo)
 )
+
+
+def campaign_run_log_path(out: str, run: int) -> str:
+    """Per-run stderr log path for campaign sidecar ``out`` —
+    ``campaign_logs/<sidecar-stem>.run<N>.log`` next to the sidecar
+    (VERDICT r15 item 6: run logs lived at the repo root and made it
+    unreadable; they now collect under campaign_logs/, referenced
+    from each sidecar line's ``log`` field). Creates the directory.
+    Collision-avoiding: a second campaign batch on the same sidecar
+    restarts run numbering at 1, and the old derivation silently
+    clobbered the first batch's logs (CAMPAIGN_r15: 26 sidecar lines,
+    8 surviving logs) — now later batches land as ``.run<N>.b<K>.log``
+    and the sidecar line records which file it got."""
+    d = os.path.join(os.path.dirname(os.path.abspath(out)), "campaign_logs")
+    os.makedirs(d, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(out))[0]
+    path = os.path.join(d, f"{stem}.run{run}.log")
+    k = 1
+    while os.path.exists(path):
+        path = os.path.join(d, f"{stem}.run{run}.b{k}.log")
+        k += 1
+    return path
 
 
 def campaign_line(
@@ -2192,6 +2216,7 @@ def campaign_line(
     kind: str = "suite",
     run: int | None = None,
     exit_code: int | None = None,
+    log: str | None = None,
 ) -> dict:
     """Project a full bench artifact (the BENCH_SELF.json shape) onto
     the flat campaign-line schema above — pure, so the gate tests pin
@@ -2227,6 +2252,7 @@ def campaign_line(
         else sorted(n for n in regressions if n != "__suite__"),
         "retried": sorted(artifact.get("retried") or {}),
         "exit": exit_code,
+        "log": log,
     }
     if set(line) != set(CAMPAIGN_LINE_FIELDS):
         # Explicit raise, not assert: the schema pin must survive

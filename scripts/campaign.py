@@ -49,7 +49,7 @@ def main() -> int:
         # exit code — the gate/refusal/crash output must survive
         # somewhere or "a failed run is evidence" is hollow. stdout
         # (the metric line, duplicated in the sidecar) stays dropped.
-        run_log = f"{os.path.splitext(out)[0]}.run{run}.log"
+        run_log = bench.campaign_run_log_path(out, run)
         with open(run_log, "w") as logf:
             proc = subprocess.run(
                 [sys.executable, os.path.join(HERE, "bench.py")],
@@ -65,7 +65,13 @@ def main() -> int:
                     art = json.load(f)
         except (OSError, ValueError):
             art = {}
-        line = bench.campaign_line(art, kind="suite", run=run, exit_code=proc.returncode)
+        line = bench.campaign_line(
+            art,
+            kind="suite",
+            run=run,
+            exit_code=proc.returncode,
+            log=os.path.relpath(run_log, HERE),
+        )
         bench.append_campaign_line(line, out)
         print(
             f"# run {run}/{n}: exit {proc.returncode}, suite "

@@ -46,7 +46,7 @@ def main() -> int:
         t_start = time.time()
         before_self = os.path.getmtime(self_path) if os.path.exists(self_path) else None
         before_base = os.path.getmtime(base_path) if os.path.exists(base_path) else None
-        run_log = f"{os.path.splitext(out)[0]}.run{run}.log"
+        run_log = bench.campaign_run_log_path(out, run)
         with open(run_log, "w") as logf:
             proc = subprocess.run(
                 [sys.executable, os.path.join(HERE, "bench.py")],
@@ -63,7 +63,13 @@ def main() -> int:
                     art = json.load(f)
         except (OSError, ValueError):
             art = {}
-        line = bench.campaign_line(art, kind="record", run=run, exit_code=proc.returncode)
+        line = bench.campaign_line(
+            art,
+            kind="record",
+            run=run,
+            exit_code=proc.returncode,
+            log=os.path.relpath(run_log, HERE),
+        )
         bench.append_campaign_line(line, out)
         recorded = (
             os.path.exists(base_path)

@@ -1842,10 +1842,14 @@ def test_campaign_line_schema_and_projection(monkeypatch, tmp_path):
         },
         "load": {"loadavg_pre": [0.12, 0.3, 0.4]},
     }
-    line = bench.campaign_line(art, kind="suite", run=3, exit_code=0)
+    line = bench.campaign_line(
+        art, kind="suite", run=3, exit_code=0,
+        log="campaign_logs/CAMPAIGN_test.run3.log",
+    )
     assert set(line) == set(bench.CAMPAIGN_LINE_FIELDS)
     assert line["kind"] == "suite" and line["run"] == 3
     assert line["exit"] == 0
+    assert line["log"] == "campaign_logs/CAMPAIGN_test.run3.log"
     assert line["value_s"] == 30.0 and line["sf"] == 0.1
     assert line["probe_pre_s"] == 0.5 and line["probe_post_s"] == 0.45
     # worst scan window 0.5 vs the clean pin; settled stream post 1.4.
@@ -1869,7 +1873,7 @@ def test_campaign_line_schema_and_projection(monkeypatch, tmp_path):
     assert set(sparse) == set(bench.CAMPAIGN_LINE_FIELDS)
     assert sparse["probe_vs_pin"] is None and sparse["value_s"] is None
     assert sparse["regressions"] is None and sparse["retried"] == []
-    assert sparse["exit"] is None
+    assert sparse["exit"] is None and sparse["log"] is None
 
     # Append-only sidecar: two lines land as two parseable JSONL rows.
     path = str(tmp_path / "CAMPAIGN_test.jsonl")
@@ -1877,6 +1881,24 @@ def test_campaign_line_schema_and_projection(monkeypatch, tmp_path):
     bench.append_campaign_line(sparse, path)
     rows = [json.loads(r) for r in open(path)]
     assert len(rows) == 2 and rows[0]["run"] == 3 and rows[1]["kind"] == "solo"
+
+
+def test_campaign_run_log_path_collision_avoiding(tmp_path):
+    """VERDICT r15 item 6: run logs collect under campaign_logs/ next
+    to the sidecar; a second batch on the same sidecar restarts run
+    numbering at 1 and must NOT clobber the first batch's evidence
+    (CAMPAIGN_r15: 26 sidecar lines, only 8 surviving logs)."""
+    out = str(tmp_path / "CAMPAIGN_x.jsonl")
+    p1 = bench.campaign_run_log_path(out, 1)
+    assert p1 == str(tmp_path / "campaign_logs" / "CAMPAIGN_x.run1.log")
+    assert os.path.isdir(str(tmp_path / "campaign_logs"))
+    open(p1, "w").close()
+    p2 = bench.campaign_run_log_path(out, 1)
+    assert p2 == str(tmp_path / "campaign_logs" / "CAMPAIGN_x.run1.b1.log")
+    open(p2, "w").close()
+    assert bench.campaign_run_log_path(out, 1).endswith(".run1.b2.log")
+    # A different run index is untouched by the collision suffixing.
+    assert bench.campaign_run_log_path(out, 2).endswith(".run2.log")
 
 
 def test_probe_admission_retries_use_light_reprobe():
@@ -2011,13 +2033,19 @@ def test_campaign_runs_keep_stderr_evidence(tmp_path, monkeypatch):
     monkeypatch.setattr(mod.sys, "argv", ["campaign.py", "2", "0", str(out)])
     assert mod.main() == 0
     assert len(calls) == 2
+    # VERDICT r15 item 6: logs land under campaign_logs/ beside the
+    # sidecar, and each sidecar line carries its log's relative path.
     for run in (1, 2):
-        log = tmp_path / f"CAMP.run{run}.log"
+        log = tmp_path / "campaign_logs" / f"CAMP.run{run}.log"
         assert log.exists()
         assert "PROBE_ADMISSION REFUSED" in log.read_text()
     # The sidecar still records both failed runs (exit-code evidence).
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert [l["exit"] for l in lines] == [1, 1]
+    assert all(
+        l["log"].endswith(f"campaign_logs/CAMP.run{i}.log")
+        for i, l in enumerate(lines, 1)
+    )
 
 
 def test_campaign_floors_surfaces_unknown_query(tmp_path, monkeypatch, capsys):
