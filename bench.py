@@ -1145,6 +1145,40 @@ def wait_for_idle(
 # improves the measurement window when it can; probe_clean stays the
 # strict box-absolute verdict on whatever window actually ran.
 PROBE_ADMIT_RATIO = 1.15
+
+
+def _admit_ratio_from_env(env=None) -> float:
+    """Admission bar override: SPARK_GRAFT_PROBE_ADMIT_RATIO=<float>.
+
+    The 1.15 default is right for ordinary suite runs (admission
+    improves the window when it can; probe_clean stays the strict
+    verdict). A baseline-TIGHTENING campaign (VERDICT r15 item 1) has
+    the opposite economics: a warm-but-admitted window burns a whole
+    ~6-min suite run to produce a stamp-only patch, while the run's
+    only purpose was to observe a near-floor window — there a
+    stricter bar (e.g. 1.02) plus a bigger SPARK_GRAFT_WAIT_IDLE
+    budget holds out for the clean stretch instead. Opt-in per
+    process; never-block is preserved either way (budget exhausted →
+    logged refusal, suite proceeds, the 1.05x record gate still
+    adjudicates). Unparseable or non-positive values fall back to the
+    default loudly rather than silently gating on garbage."""
+    raw = (env if env is not None else os.environ).get(
+        "SPARK_GRAFT_PROBE_ADMIT_RATIO"
+    )
+    if raw is None or not str(raw).strip():
+        return PROBE_ADMIT_RATIO
+    try:
+        v = float(raw)
+    except ValueError:
+        v = -1.0
+    if v <= 0:
+        print(
+            f"# PROBE_ADMIT_RATIO ignored (unparseable/non-positive: "
+            f"{raw!r}); using default {PROBE_ADMIT_RATIO}",
+            file=sys.stderr,
+        )
+        return PROBE_ADMIT_RATIO
+    return v
 # Poll cadence between probe re-runs: the box's load arrives in
 # ~10-20-minute waves (SCALING.md r07/r08), and each probe re-run
 # itself costs seconds of evidence-gathering wall — 20 s spacing
@@ -1388,6 +1422,7 @@ def main() -> int:
         lambda: calibration_probe(spark, target_s=probe_base),
         pin_s=_clean_probe_reference()["probe_s"],
         budget_s=admit_budget,
+        ratio=_admit_ratio_from_env(),
         # Retries sample the window on the already-settled probe plan:
         # 4 reps, not the full 12-rep settle barrier (see docstring).
         reprobe_fn=lambda: calibration_probe(

@@ -1883,6 +1883,25 @@ def test_campaign_line_schema_and_projection(monkeypatch, tmp_path):
     assert len(rows) == 2 and rows[0]["run"] == 3 and rows[1]["kind"] == "solo"
 
 
+def test_admit_ratio_env_override():
+    """VERDICT r15 item 1 support: a tightening campaign can demand a
+    stricter admission bar (SPARK_GRAFT_PROBE_ADMIT_RATIO) so runs
+    hold out for near-pin windows instead of burning a suite run on a
+    warm window's stamp-only patch. Default unchanged; garbage values
+    fall back loudly rather than gating on nonsense."""
+    assert bench._admit_ratio_from_env(env={}) == bench.PROBE_ADMIT_RATIO
+    assert bench._admit_ratio_from_env(
+        env={"SPARK_GRAFT_PROBE_ADMIT_RATIO": ""}
+    ) == bench.PROBE_ADMIT_RATIO
+    assert bench._admit_ratio_from_env(
+        env={"SPARK_GRAFT_PROBE_ADMIT_RATIO": "1.02"}
+    ) == 1.02
+    for garbage in ("nope", "0", "-3"):
+        assert bench._admit_ratio_from_env(
+            env={"SPARK_GRAFT_PROBE_ADMIT_RATIO": garbage}
+        ) == bench.PROBE_ADMIT_RATIO
+
+
 def test_campaign_run_log_path_collision_avoiding(tmp_path):
     """VERDICT r15 item 6: run logs collect under campaign_logs/ next
     to the sidecar; a second batch on the same sidecar restarts run
