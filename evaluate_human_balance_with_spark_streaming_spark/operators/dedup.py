@@ -70,10 +70,21 @@ def with_shingles(
     cached a redundant copy of the document text that no downstream
     consumer reads); None keeps every input column for callers that
     need the full rows. A one-file scan is spread first so the hash
-    sweep parallelizes."""
+    sweep parallelizes.
+
+    The no-signal filter runs on the CHEAP equivalent predicate
+    ``size(tokens) >= n`` instead of ``size(_shingles) > 0`` (r16,
+    guide §4.4's duplicated-evaluation pattern): pushdown inlined the
+    whole interpreted zip_with shingle build into the Filter condition
+    below the projection, so every row paid the shingle assembly twice
+    (plans/r16/dedup_minhash_lsh_before.txt node (6)). Equivalence is
+    exact: word_shingles null-marks the k-shifted tails, so the
+    distinct array is non-empty iff the token array has >= n entries
+    (an n-gram exists iff there are n words)."""
     df = ensure_min_partitions(df)
-    sh = word_shingles(F.col(text_col), shingle_n)
-    out = df.withColumn("_shingles", sh).filter(F.size("_shingles") > 0)
+    out = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).withColumn(
+        "_shingles", word_shingles(F.col(text_col), shingle_n)
+    )
     if keep is not None:
         out = out.select(*keep, "_shingles")
     return managed_persist(out)
@@ -232,14 +243,17 @@ def ngram_prefix_candidates(
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
     # Persist the slim shingle-set table: the prefix build and the
-    # pair verification both derive from it.
+    # pair verification both derive from it. The no-signal filter runs
+    # on the cheap equivalent token-count predicate BEFORE the shingle
+    # projection (same duplicated-evaluation fix as with_shingles —
+    # pushdown otherwise inlines the zip_with build into the Filter).
     sized = managed_persist(
-        df.select(
+        df.filter(F.size(tokens(F.col(text_col))) >= shingle_n)
+        .select(
             F.col(id_col),
             F.col(block_col).alias("blk"),
             word_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         .select(F.col(id_col), "blk", F.size("sh").alias("sz"), "sh")
     )
     ex = sized.select(F.col(id_col), "blk", "sz", F.explode("sh").alias("s"))

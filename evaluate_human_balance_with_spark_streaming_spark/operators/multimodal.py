@@ -135,7 +135,15 @@ def decode_payload(payload: bytes, modality: str) -> bytes:
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Model a multimodal table from the documents fixture: payload =
     utf-8 bytes of the text (a stand-in blob), modality = 'raw',
-    metadata struct computed JVM-side (no Python for metadata)."""
+    metadata struct computed JVM-side (no Python for metadata).
+
+    Deliberately NOT scan-spread (r16 measured): a round-robin
+    exchange of the payload bytes before the mapInPandas/frame
+    fan-out cost MORE than the parallelism bought back at fixture
+    scale (mm_pandas_features 0.34 s → 0.59 s, mm_frame_sample
+    0.18 s → 0.31 s with the spread) — the payload-bytes rule from
+    the guide's §8: don't shuffle heavy opaque bytes to save light
+    CPU. At cluster scale big files split naturally."""
     payload = F.encode(F.col(text_col), "utf-8")
     return df.select(
         F.col(id_col).alias("id"),

@@ -125,24 +125,39 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables (TPC-H SF), so a forced F.broadcast would exceed the 8 GB
     broadcast hard limit at the 100 TB target — the threshold/AQE
     picks broadcast while customer fits and falls back to a shuffle
-    join when it doesn't (review finding). orders⋈lineitem shuffles
-    on the shared order key only once because the aggregate reuses
-    the join partitioning. orderkey tiebreaker makes LIMIT
-    deterministic."""
+    join when it doesn't (review finding). orderkey tiebreaker makes
+    LIMIT deterministic.
+
+    r16 restructure (guide §2.3 "aggregate before you shuffle"):
+    revenue is aggregated per (o_orderkey, o_custkey) BEFORE the
+    customer join — o_orderkey functionally determines o_custkey
+    (orders PK) and c_custkey is unique, so each original
+    (o_orderkey, c_mktsegment) group is exactly one pre-aggregated
+    row and the decimal sum (exact, associative) is unchanged. The
+    customer join's probe side shrinks from |lineitem| joined rows to
+    |orders| aggregated rows, and the mktsegment string never rides
+    the wide shuffle."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.join(o.filter(F.col("o_orderstatus") == "O"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("o_orderkey", "c_mktsegment")
+    per_order = (
+        l.join(
+            o.filter(F.col("o_orderstatus") == "O"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_custkey")
         .agg(
-            F.round(
-                F.sum(
-                    _dec2(F.col("l_extendedprice")) * (_one() - _dec4(F.col("l_discount")))
-                ).cast("double"),
-                4,
-            ).alias("revenue")
+            F.sum(
+                _dec2(F.col("l_extendedprice")) * (_one() - _dec4(F.col("l_discount")))
+            ).alias("_rev")
+        )
+    )
+    return (
+        per_order.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -185,18 +200,32 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("c_custkey", "n_name", "r_name")
     )
-    return (
+    # r16 restructure (guide §2.3 "aggregate before you shuffle"): the
+    # before-plan shuffled EVERY joined lineitem row by custkey through
+    # a SortMergeJoin against dims before reducing to 25 groups
+    # (plans/r16/q_nation_volume_before.txt nodes (8)/(22)-(24)). Since
+    # c_custkey is unique (each custkey maps to exactly one
+    # nation/region) and the decimal sum is exact and associative,
+    # aggregating per o_custkey first and re-aggregating the partial
+    # sums after the dims join is value-identical — the custkey
+    # exchange now carries one slim partial row per customer instead of
+    # every lineitem, at any scale.
+    per_cust = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                _dec2(F.col("l_extendedprice")) * (_one() - _dec4(F.col("l_discount")))
+            ).alias("_vol"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        per_cust.join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(
-                    _dec2(F.col("l_extendedprice")) * (_one() - _dec4(F.col("l_discount")))
-                ).cast("double"),
-                4,
-            ).alias("volume"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("_vol").cast("double"), 4).alias("volume"),
+            F.sum("_n").alias("n_items"),
         )
     )
 

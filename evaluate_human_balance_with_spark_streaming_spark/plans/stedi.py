@@ -45,6 +45,20 @@ def decode_customers(
     from_json with the customer schema → star-expand. Malformed base64
     or JSON yields nulls (from_json PERMISSIVE mode), never a crash; the
     downstream not-null filter drops them.
+
+    The final customer struct is materialized through an
+    ``explode(array(...))`` Generate barrier (r16 optimization, guide
+    §4.4's duplicated-evaluation pattern): Catalyst pushes the
+    downstream not-null/join-key filters below the decode projections
+    and INLINES the whole double-JSON+base64 chain into the Filter
+    condition, so every surviving row paid the decode twice (once in
+    the pushed Filter, once in the Project — visible in
+    plans/r16/stedi_decode_chain_before.txt node (3)). A predicate on a
+    generator's OUTPUT attribute cannot be pushed below the Generate,
+    so the chain is evaluated exactly once per row and the filters
+    become cheap struct-field references. explode(array(x)) emits
+    exactly one row per input row (even when x is null), so row
+    semantics are byte-identical; streaming-safe (stateless generator).
     """
     carry = [F.col(c) for c in passthrough]
     envelope = raw.select(
@@ -67,7 +81,10 @@ def decode_customers(
         .alias("customerJson"),
     )
     return decoded.select(
-        *carry, F.from_json(F.col("customerJson"), CUSTOMER_SCHEMA).alias("customer")
+        *carry,
+        F.explode(
+            F.array(F.from_json(F.col("customerJson"), CUSTOMER_SCHEMA))
+        ).alias("customer"),
     ).select(*passthrough, "customer.*")
 
 
@@ -105,8 +122,15 @@ def parse_risk_events(
     retained as a proper TimestampType for watermarked aggregates.
     """
     schema = STEDI_SCHEMA_TS if keep_timestamp else STEDI_SCHEMA
+    # Same explode(array(...)) single-evaluation barrier as
+    # decode_customers: the flagship join infers isnotnull(customer) on
+    # the join key and pushes it below this projection with the full
+    # from_json inlined (plans/r16/stedi_flagship_join_before.txt node
+    # (2)) — the Generate pins the parse to once per row.
     parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), schema).alias("event")
+        F.explode(
+            F.array(F.from_json(F.col(value_col).cast("string"), schema))
+        ).alias("event")
     ).select("event.*")
     if keep_timestamp:
         return parsed.select("customer", "score", "riskDate")

@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import ensure_min_partitions
+
 TABLES = (
     "region",
     "nation",
@@ -81,12 +83,15 @@ def stedi_customers_plain(
     source for the
     email/phone/birthDay formulas that the oracle SQL fragments
     (plans/stedi_queries.py) replay."""
-    # NB: measured — spreading this scan (ensure_min_partitions) before
-    # the encode chain made the whole suite SLOWER at test scale: the
-    # json/base64 expressions are codegen'd and cheap, so the added
-    # round-robin shuffle dominates. The spread helper stays reserved
-    # for interpreted higher-order hot loops (minhash/simhash/cosine).
-    c = load_table(spark, sf_dir, "customer")
+    # r16 re-measure: the round-1 finding that spreading this scan was
+    # a net loss no longer holds once the decode chain is evaluated
+    # once per row (stedi.py's Generate barrier): the sf0.1 customer
+    # file is one ~300 KB scan task, so the whole encode+decode chain
+    # ran on ONE core (~0.9 s single-threaded) while a round-robin
+    # spread of the slim pre-encode rows costs ~0.1 s. At cluster
+    # scale the helper no-ops (big files already split); locally it
+    # parallelizes the JSON hot loop across the session width.
+    c = ensure_min_partitions(load_table(spark, sf_dir, "customer"))
     k = F.col("c_custkey")
     birth_year = (F.lit(1920) + k % 80).cast("int").cast("string")
     birth_day = F.concat(
@@ -114,8 +119,12 @@ def stedi_customers_plain(
 
 
 def stedi_risk_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table → plain STEDI risk assessments (pre-encoding)."""
-    e = load_table(spark, sf_dir, "events")
+    """Events table → plain STEDI risk assessments (pre-encoding).
+
+    Spread like stedi_customers_plain: the sf0.1 events file is one
+    ~2 MB scan task, so the 100k-row to_json/from_json hot loop
+    otherwise runs on one core; no-ops at cluster scale."""
+    e = ensure_min_partitions(load_table(spark, sf_dir, "events"))
     return e.select(
         _email_from_custkey(F.col("user_id")).alias("customer"),
         F.col("value").cast("float").alias("score"),
