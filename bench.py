@@ -1335,17 +1335,33 @@ def sweep_orphan_tmp(
         return None
     import shutil
 
-    tmp_dir = tmp_dir or tempfile.gettempdir()
+    if tmp_dir:
+        sweep_dirs = [tmp_dir]
+    else:
+        # r16: bounded-replay checkpoints moved to the RAM-backed
+        # scratch dir (streaming/runner.py::_replay_scratch_dir), so a
+        # crashed replay's orphan ehb-ckpt-* now lands there — sweep
+        # both roots when none is pinned by the caller.
+        from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+            _replay_scratch_dir,
+        )
+
+        sweep_dirs = [tempfile.gettempdir()]
+        scratch = _replay_scratch_dir()
+        if scratch and scratch not in sweep_dirs:
+            sweep_dirs.append(scratch)
+    tmp_dir = ", ".join(sweep_dirs)
     now = time.time() if now is None else now
     out = {"swept": 0, "kept": 0, "errors": 0}
-    try:
-        entries = list(os.scandir(tmp_dir))
-    except OSError:
-        # Still emit the evidence line (review r11: the early return
-        # skipped it, so an enabled-but-failed sweep looked like one
-        # that never ran).
-        out["errors"] += 1
-        entries = []
+    entries = []
+    for d in sweep_dirs:
+        try:
+            entries.extend(os.scandir(d))
+        except OSError:
+            # Still emit the evidence line (review r11: the early return
+            # skipped it, so an enabled-but-failed sweep looked like one
+            # that never ran).
+            out["errors"] += 1
     for entry in entries:
         if not entry.name.startswith("ehb-"):
             continue

@@ -108,11 +108,20 @@ def ivf_topk(
     while staying bounded (n_probe × avg cell size per query — never
     all-pairs); with n_probe = number of cells the result provably
     equals brute force (pinned by a unit test).
+
+    Unlike brute_force_topk the corpus scan is NOT spread here (r16
+    measured): IVF's per-row work before any shuffle is one light norm
+    fold, its dot products are bounded to n_probe cells per query, and
+    the centroid build parallelizes through its own exchanges — the
+    round-robin spread of a small corpus bought nothing and cost a
+    32-task shuffle + 32-block persist per stage (~0.3 s of pure task
+    launch at bench scale). At cluster scale big files split naturally
+    either way.
     """
     from ..functions.vectors import dot_product, l2_norm
 
     c = managed_persist(
-        ensure_min_partitions(corpus)
+        corpus
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(cell_col).alias("cell"),

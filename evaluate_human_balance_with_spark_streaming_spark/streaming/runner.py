@@ -15,6 +15,7 @@ reference sparkpykafkajoin.py:218-221).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 import uuid
@@ -30,6 +31,26 @@ from ..caching import on_release
 # some join parallelism while halving store open/commit count. On a
 # cluster-sized job, size this to cores via the ``width`` argument.
 REPLAY_SHUFFLE_PARTITIONS = 4
+
+
+def _replay_scratch_dir() -> str | None:
+    """Parent dir for THROWAWAY bounded-replay checkpoints (r16, guide
+    §6 I/O): an availableNow → memory-sink drain writes a state-store
+    delta + offset/commit log per micro-batch per partition and the
+    whole tree is deleted the moment the drain ends, so — like shuffle
+    scratch — it belongs on the fastest local medium, not the durable
+    one. A RAM-backed /dev/shm cut the sf0.1 watermarked-dedup replay
+    from 2.6 s to 1.5 s flat (the delta is pure fsync/IO latency on a
+    disk-backed /tmp). Production queries (start_query) keep their
+    EXPLICIT durable checkpoint_location — this only routes the
+    self-deleting replay scratch. Override with
+    SPARK_GRAFT_REPLAY_SCRATCH (any existing dir; e.g. a cluster's
+    local-SSD scratch mount); None falls back to the system tempdir."""
+    override = os.environ.get("SPARK_GRAFT_REPLAY_SCRATCH")
+    for cand in ([override] if override else []) + ["/dev/shm"]:
+        if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
+            return cand
+    return None
 
 # One replay session per (SparkContext, width): newSession() would
 # otherwise rebuild a SessionState (catalog, conf, listener wiring) per
@@ -136,7 +157,7 @@ def run_to_memory(
     duration of the call."""
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    checkpoint = tempfile.mkdtemp(prefix="ehb-ckpt-")
+    checkpoint = tempfile.mkdtemp(prefix="ehb-ckpt-", dir=_replay_scratch_dir())
     try:
         query = (
             stream_df.writeStream.format("memory")
@@ -226,7 +247,7 @@ def run_foreach_batch(
     exactly-once on top of the at-least-once replay contract).
     ``batch_fn(batch_df, batch_id)`` runs on the driver per micro-batch
     with a *batch* DataFrame."""
-    checkpoint = tempfile.mkdtemp(prefix="ehb-ckpt-feb-")
+    checkpoint = tempfile.mkdtemp(prefix="ehb-ckpt-feb-", dir=_replay_scratch_dir())
     try:
         query = (
             stream_df.writeStream.foreachBatch(batch_fn)
