@@ -376,24 +376,29 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.md5(F.col("tok"))
-    digits = tok.select(
-        id_col,
-        *[hex_digit_value(F.substring(h, d + 1, 1)).alias(f"d{d}") for d in range(8)],
-    )
-    # Bit j lives in bit (j % 4) of hex digit j // 4; each token
-    # contributes +1/-1 to that bit's counter.
+    # r16 per-token slimming, bit-identical to the 8-hex-digit form it
+    # replaces: the first 8 md5 hex chars ARE a 32-bit integer, so one
+    # conv() replaces eight substring+instr digit extractions — hex
+    # digit d is (h32 >> 4*(7-d)) & 15 (char 0 is the high nibble), so
+    # bit j (= bit j%4 of digit j//4) is (h32 >> (4*(7-j//4) + j%4))&1.
+    # The per-bit sum drops the *2-1 mapping (64 arithmetic ops/token):
+    # sum(2b-1) = 2*sum(b) - n, and the sign test 2*c - n > 0 over
+    # integers is exactly the old contrib > 0. count(h32) mirrors
+    # sum()'s null semantics (explode-of-split never yields null
+    # tokens, but keep the aggregate pair self-consistent).
+    h32 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    bits = tok.select(id_col, h32.alias("h32"))
     sums = [
         F.sum(
-            F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1
+            F.shiftright(F.col("h32"), 4 * (7 - j // 4) + j % 4).bitwiseAND(F.lit(1))
         ).alias(f"c{j}")
         for j in range(32)
-    ]
-    agg = digits.groupBy(id_col).agg(*sums)
+    ] + [F.count("h32").alias("n_tok")]
+    agg = bits.groupBy(id_col).agg(*sums)
     packed = None
     for j in range(32):
         term = (
-            F.when(F.col(f"c{j}") > 0, F.lit(1 << j).cast("bigint"))
+            F.when(2 * F.col(f"c{j}") - F.col("n_tok") > 0, F.lit(1 << j).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint"))
         )
         packed = term if packed is None else packed + term
@@ -913,9 +918,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     )
     remaining = 0
     for _ in range(max_iterations):
-        # Merge map (m∘m, _cc_merge_map) materialized once per round:
-        # both the relabel and the contraction consume it.
-        m2 = _cc_merge_map(edges, w).localCheckpoint()
+        # Merge map (m∘m, _cc_merge_map) computed once per round: both
+        # the relabel and the contraction consume it. persist(), not
+        # localCheckpoint() (r16): the cache materializes lazily inside
+        # the FIRST consumer's checkpoint job instead of paying a
+        # dedicated materialization job per round — one fewer job ×
+        # rounds, and plan nesting stays bounded because m2's lineage
+        # is one groupBy+join over the round's already-checkpointed
+        # edge blocks. Unpersisted as soon as the round's frames are
+        # materialized.
+        m2 = _cc_merge_map(edges, w).persist()
         # Relabel + contract (_cc_apply_round): self-loops and
         # duplicate edges drop out, so the working set shrinks
         # monotonically; the trailing hash(src, W) feeds the next
@@ -923,6 +935,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         mapping, edges = _cc_apply_round(edges, mapping, m2, w)
         mapping = mapping.localCheckpoint()
         edges = edges.localCheckpoint()
+        m2.unpersist()
         remaining = edges.count()
         if remaining == 0:
             break
