@@ -279,7 +279,14 @@ def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks,
         (F.col("c_user") == F.col("p_user")) & (F.col("c_ts") <= F.col("p_ts")),
     )
-    w = Window.partitionBy("purchase_id").orderBy(
+    # Window keyed (p_user, purchase_id), not purchase_id alone (r16,
+    # guide §2.4 "remove shuffles outright"): purchase_id is a unique
+    # event id that functionally determines p_user, so the groups are
+    # identical — but the leading p_user key lets the Window reuse the
+    # join's hash(user) partitioning instead of re-exchanging the
+    # join's FAN-OUT output (the largest intermediate in this plan) by
+    # purchase_id. One exchange removed at any scale.
+    w = Window.partitionBy("p_user", "purchase_id").orderBy(
         F.col("c_ts").desc(), F.col("click_id").desc()
     )
     return (
