@@ -381,28 +381,63 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # conv() replaces eight substring+instr digit extractions — hex
     # digit d is (h32 >> 4*(7-d)) & 15 (char 0 is the high nibble), so
     # bit j (= bit j%4 of digit j//4) is (h32 >> (4*(7-j//4) + j%4))&1.
-    # The per-bit sum drops the *2-1 mapping (64 arithmetic ops/token):
-    # sum(2b-1) = 2*sum(b) - n, and the sign test 2*c - n > 0 over
-    # integers is exactly the old contrib > 0. count(h32) mirrors
-    # sum()'s null semantics (explode-of-split never yields null
-    # tokens, but keep the aggregate pair self-consistent).
+    # The per-bit sum drops the *2-1 mapping: sum(2b-1) = 2*sum(b) - n,
+    # and the sign test 2*c - n > 0 over integers is exactly the old
+    # contrib > 0. count(h32) mirrors sum()'s null semantics
+    # (explode-of-split never yields null tokens, but keep the
+    # aggregate pair self-consistent).
+    #
+    # r17 SWAR lane packing (guide §1.2 per-task work; the 32-buffer
+    # aggregate's fixed cost was the measured residual — an 8-sum
+    # variant ran 0.48 s vs 0.66 s for 32 sums on the same 270k
+    # tokens): the 32 bit-counters ride in EIGHT bigint sums of four
+    # 15-bit lanes each. Sum s carries bits j = 4s..4s+3, whose shifts
+    # 4*(7-j//4) + j%4 = 4*(7-s) + l (l = j%4) are contiguous — i.e.
+    # exactly nibble (7-s) of h32. The multiply-spread
+    # (nibble * (1 + 2^14 + 2^28 + 2^42)) & (1 + 2^15 + 2^30 + 2^45)
+    # places bit l at lane position 15l with no carries (the four
+    # shifted copies occupy disjoint bit ranges), so summing over
+    # tokens accumulates each bit's count in its own lane:
+    # c_{4s+l} = (S_s >> 15l) & 0x7FFF. Integer-exact, hence
+    # bit-identical simhash — PROVIDED no lane overflows, so docs are
+    # capped at 32767 tokens (4 lanes × 15 bits keeps the top lane's
+    # accumulator below bit 60; the raise_error guard fails LOUDLY on
+    # a longer doc instead of silently corrupting signatures — chunk
+    # or pre-truncate such documents upstream).
     h32 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
     bits = tok.select(id_col, h32.alias("h32"))
+    spread = F.lit((1 << 0) + (1 << 14) + (1 << 28) + (1 << 42))
+    lanes = F.lit((1 << 0) + (1 << 15) + (1 << 30) + (1 << 45))
     sums = [
         F.sum(
-            F.shiftright(F.col("h32"), 4 * (7 - j // 4) + j % 4).bitwiseAND(F.lit(1))
-        ).alias(f"c{j}")
-        for j in range(32)
+            (
+                F.shiftright(F.col("h32"), 4 * (7 - s)).bitwiseAND(F.lit(15))
+                * spread
+            ).bitwiseAND(lanes)
+        ).alias(f"s{s}")
+        for s in range(8)
     ] + [F.count("h32").alias("n_tok")]
     agg = bits.groupBy(id_col).agg(*sums)
     packed = None
     for j in range(32):
+        c = F.shiftright(F.col(f"s{j // 4}"), 15 * (j % 4)).bitwiseAND(
+            F.lit(0x7FFF)
+        )
         term = (
-            F.when(2 * F.col(f"c{j}") - F.col("n_tok") > 0, F.lit(1 << j).cast("bigint"))
+            F.when(2 * c - F.col("n_tok") > 0, F.lit(1 << j).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint"))
         )
         packed = term if packed is None else packed + term
-    return agg.select(F.col(id_col), packed.alias("simhash"))
+    guarded = F.when(F.col("n_tok") <= 32767, packed).otherwise(
+        F.raise_error(
+            F.lit(
+                "simhash_signatures: document exceeds 32767 tokens; the "
+                "SWAR lane-packed aggregate would overflow — chunk the "
+                "document or widen the lanes"
+            )
+        ).cast("bigint")
+    )
+    return agg.select(F.col(id_col), guarded.alias("simhash"))
 
 
 def simhash_pairs(
@@ -735,7 +770,22 @@ def _cc_width(n_rows: int, session_width: int) -> int:
     return max(1, min(session_width, n_rows // 65_536 + 1))
 
 
-def _cc_merge_map(edges: DataFrame, w: int) -> DataFrame:
+# Edge-count ceiling for the CC loop's BROADCAST regime (r17, guide
+# §3.1 "pick the join strategy deliberately"): a round whose working
+# edge set is at most this many rows broadcasts its merge map m2 (≤
+# 2×edges slim (long, long) rows ≈ 32 MB at the cap) into the relabel
+# and contraction joins instead of shuffling both sides — the shuffle
+# regime's ~12 sequential exchanges per round are pure stage-launch
+# fixed cost when the data is this small. Scale-adaptive, not a local
+# tune: a 100 TB graph's FIRST rounds exceed the cap and take the
+# shuffle path; as components contract, the endgame rounds fall under
+# it and stop paying full-width shuffles for kilobytes of residue.
+# The loop already counts edges every round (the convergence check),
+# so the regime choice is free.
+_CC_BROADCAST_EDGES = 1 << 20
+
+
+def _cc_merge_map(edges: DataFrame, w: int, small: bool = False) -> DataFrame:
     """One contraction round's POINTER-DOUBLED merge map m∘m over a
     symmetrized (src, dst) edge frame: m(u) = min({u} ∪ N(u)), then one
     self-join follows the map a second hop. Returns the PLAN; the loop
@@ -761,25 +811,30 @@ def _cc_merge_map(edges: DataFrame, w: int) -> DataFrame:
     _cc_apply_round: the map-side task count of every exchange in the
     NEXT round, the fixed cost that made tiny rounds pay 32 task
     launches per stage. The two sides of the m self-join are
-    alias-identical subtrees, so ReuseExchange computes m once."""
+    alias-identical subtrees, so ReuseExchange computes m once.
+
+    ``small=True`` (r17): the doubling hop joins a BROADCAST copy of m
+    instead of repartitioning both sides — see _CC_BROADCAST_EDGES."""
     m = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_nb"))
         .select("src", F.least("src", "_nb").alias("mn"))
     )
+    hop = m.select(F.col("src").alias("_s"), F.col("mn").alias("_m"))
+    if small:
+        return m.join(
+            F.broadcast(hop), F.col("mn") == F.col("_s"), "left"
+        ).select("src", F.coalesce("_m", "mn").alias("mn"))
     return (
         m.repartition(w, "mn")
-        .join(
-            m.select(F.col("src").alias("_s"), F.col("mn").alias("_m")),
-            F.col("mn") == F.col("_s"),
-            "left",
-        )
+        .join(hop, F.col("mn") == F.col("_s"), "left")
         .select("src", F.coalesce("_m", "mn").alias("mn"))
     )
 
 
 def _cc_apply_round(
-    edges: DataFrame, mapping: DataFrame, m2: DataFrame, w: int
+    edges: DataFrame, mapping: DataFrame, m2: DataFrame, w: int,
+    small: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply a MATERIALIZED merge map: relabel the node→super-node
     mapping (frozen components left-join to nothing and keep their
@@ -792,7 +847,35 @@ def _cc_apply_round(
     materialized round at w blocks — the map-side task count of every
     next-round exchange, the per-round fixed cost _cc_width sizes.
     Join reducer widths are the session width at plan time, coalesced
-    by AQE at run time."""
+    by AQE at run time.
+
+    ``small=True`` (r17, _CC_BROADCAST_EDGES): m2 is joined as a
+    BROADCAST relation, so the relabel and both contraction hops run
+    as map-side joins over the round's checkpointed blocks — no
+    repartition of either stream side, and the only exchanges left in
+    the round are the final ``repartition(w, src)`` (whose hash(src)
+    output also satisfies the dropDuplicates clustering, so the dedup
+    adds none). The two m2 projections differ, so Spark builds two
+    broadcast relations; both read the persisted m2 blocks once."""
+    if small:
+        new_mapping = mapping.join(
+            F.broadcast(m2), F.col("label") == F.col("src"), "left"
+        ).select("node", F.coalesce("mn", "label").alias("label"))
+        new_edges = (
+            edges.join(F.broadcast(m2), "src")
+            .select(F.col("mn").alias("src"), "dst")
+            .join(
+                F.broadcast(
+                    m2.select(F.col("src").alias("dst"), F.col("mn").alias("_dmn"))
+                ),
+                "dst",
+            )
+            .select("src", F.col("_dmn").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .repartition(w, "src")
+            .dropDuplicates(["src", "dst"])
+        )
+        return new_mapping, new_edges
     new_mapping = (
         mapping.repartition(w, "label")
         .join(m2, F.col("label") == F.col("src"), "left")
@@ -891,32 +974,49 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # Auto-tuning platforms report a non-numeric value (e.g.
         # "auto"); fall back to the cluster's physical parallelism.
         session_w = spark.sparkContext.defaultParallelism
-    cp = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint()
-    # One count over the just-materialized blocks (~free) sizes the
-    # first round; later rounds reuse their convergence count.
-    w = _cc_width(2 * cp.count(), session_w)
-    # Symmetrize so every node with any edge appears as src (m(u) reads
-    # the full neighborhood from one groupBy), then drop to the small
-    # round width. hash(src, W) clusters every per-key op below.
-    edges = (
-        cp.union(cp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(w, "src")
-        .localCheckpoint()
+    # persist + count (r17): ONE job materializes the pair set AND
+    # sizes the first round — localCheckpoint + count was two. The
+    # cache is registered with the managed lifecycle (freed after the
+    # consuming query evaluates); lineage stays bounded (one candidate
+    # pipeline behind an InMemoryRelation barrier, never re-run).
+    cp = managed_persist(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     )
+    n_edges = 2 * cp.count()
+    w = _cc_width(n_edges, session_w)
+    # Symmetrize so every node with any edge appears as src (m(u) reads
+    # the full neighborhood from one groupBy). A PLAN over the cached
+    # pair blocks, not a materialization of its own (r17): its round-0
+    # consumers (the merge map's groupBy, the contraction join, the
+    # initial node set) each re-read the cache through one cheap union
+    # — the dedicated symmetrize job bought nothing, because a
+    # materialized frame scans as UnknownPartitioning anyway (see
+    # _cc_merge_map's width-reality note), so the old
+    # repartition(w, src) never saved a downstream exchange. The
+    # shuffle-free coalesce(w) keeps each consumer's MAP side at w
+    # tasks (the cached pair blocks arrive at the candidate pipeline's
+    # full width — without the coalesce, round 0 paid 3 × ~2×width
+    # task launches of pure scheduling for a kilobyte-scale graph;
+    # with it, the same plan narrows exactly like the old
+    # materialized-at-w blocks did).
+    edges = cp.union(
+        cp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).coalesce(w)
     # node → current super-node id. Updated through each round's merge
     # map; once a node's component has fully contracted (its edges left
     # the working set), the left join below finds no row and the label
-    # — already the component min — is frozen via coalesce.
+    # — already the component min — is frozen via coalesce. A PLAN,
+    # not a checkpoint (r17): round 0's relabel is its only consumer,
+    # and it derives from the already-materialized edge blocks — the
+    # dedicated materialization job bought nothing (rounds ≥ 1 read
+    # their mapping from the round's fused checkpoint anyway).
     mapping = (
         edges.select(F.col("src").alias("node"))
-        .repartition(w, "node")
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     remaining = 0
+    small = n_edges <= _CC_BROADCAST_EDGES
     for _ in range(max_iterations):
         # Merge map (m∘m, _cc_merge_map) computed once per round: both
         # the relabel and the contraction consume it. persist(), not
@@ -927,19 +1027,61 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # is one groupBy+join over the round's already-checkpointed
         # edge blocks. Unpersisted as soon as the round's frames are
         # materialized.
-        m2 = _cc_merge_map(edges, w).persist()
+        m2 = _cc_merge_map(edges, w, small).persist()
         # Relabel + contract (_cc_apply_round): self-loops and
         # duplicate edges drop out, so the working set shrinks
         # monotonically; the trailing hash(src, W) feeds the next
-        # round's groupBy without a further exchange.
-        mapping, edges = _cc_apply_round(edges, mapping, m2, w)
-        mapping = mapping.localCheckpoint()
-        edges = edges.localCheckpoint()
-        m2.unpersist()
+        # round's groupBy without a further exchange. `small` rounds
+        # broadcast m2 into every hop (see _CC_BROADCAST_EDGES).
+        mapping, edges = _cc_apply_round(edges, mapping, m2, w, small)
+        # r17 (VERDICT r16 item 2): ONE job per round instead of three.
+        # The relabeled mapping and the contracted edge set are slim
+        # same-shaped (id, id) frames, so they materialize together as
+        # a tagged union behind a LAZY localCheckpoint — the plan is
+        # truncated to a scan of the (to-be-)checkpointed RDD at call
+        # time, and the convergence count on the edge half is the one
+        # job that computes + pins every block. persist() was tried
+        # here and is NOT equivalent: it leaves the logical plan
+        # intact, so each round's analysis re-walks every earlier
+        # round's tree (the edges/m2 subplans appear 3-4× per round →
+        # exponential rule-execution work; a 7-round chain graph OOMed
+        # the driver). The checkpoint truncation is what keeps round
+        # k's plan O(1). m2 stays a lazy persist; its first
+        # materialization happens inside the round job (the union
+        # branches' stages may briefly race on a cold m2 partition,
+        # but block-level persist locking bounds that to a duplicate
+        # compute of the round's tiny merge map — measured cheaper
+        # than the dedicated job it replaces).
+        combined = (
+            mapping.select(
+                F.lit(0).alias("_t"),
+                F.col("node").alias("_a"),
+                F.col("label").alias("_b"),
+            )
+            .unionAll(
+                edges.select(
+                    F.lit(1).alias("_t"),
+                    F.col("src").alias("_a"),
+                    F.col("dst").alias("_b"),
+                )
+            )
+            .localCheckpoint(eager=False)
+        )
+        mapping = combined.filter(F.col("_t") == 0).select(
+            F.col("_a").alias("node"), F.col("_b").alias("label")
+        )
+        edges = combined.filter(F.col("_t") == 1).select(
+            F.col("_a").alias("src"), F.col("_b").alias("dst")
+        )
         remaining = edges.count()
+        m2.unpersist()
         if remaining == 0:
             break
         w = _cc_width(remaining, session_w)
+        # `remaining` already counts the symmetrized working set, so
+        # it compares to the cap directly (m2 has at most one row per
+        # distinct src ≤ remaining).
+        small = remaining <= _CC_BROADCAST_EDGES
     if remaining != 0:
         # Exhausting the iteration budget mid-contraction would return
         # plausible-looking but WRONG labels (one component split across
@@ -955,9 +1097,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             "(clique-like near-dup graphs converge in 1-2 rounds; long "
             "chains need ~diameter/2)"
         )
-    # The final frame is localCheckpointed (already materialized); the
-    # consuming plan scans those blocks and the ContextCleaner frees
-    # them once the DataFrame is unreachable — no persist to manage.
+    # The final frame reads the last round's managed-persisted union
+    # blocks (already materialized by its convergence count); the
+    # managed lifecycle frees every round's cache after the consuming
+    # query has been evaluated.
     return mapping.select("node", F.col("label").alias("cluster_id"))
 
 

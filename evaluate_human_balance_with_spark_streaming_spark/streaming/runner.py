@@ -62,11 +62,13 @@ def _replay_scratch_dir() -> str | None:
 # a restarted context always misses the cache; entries for dead
 # contexts are evicted on the next call (the dict otherwise holds one
 # session per width for the process's whole life).
-_REPLAY_SESSIONS: dict[tuple[str, int], SparkSession] = {}
+_REPLAY_SESSIONS: dict[tuple[str, int, bool], SparkSession] = {}
 
 
 def replay_session(
-    spark: SparkSession, width: int = REPLAY_SHUFFLE_PARTITIONS
+    spark: SparkSession,
+    width: int = REPLAY_SHUFFLE_PARTITIONS,
+    no_data_batches: bool = True,
 ) -> SparkSession:
     """An ISOLATED session (own SQL conf + catalog, shared SparkContext
     and state-store provider) for bounded memory-sink replays, with
@@ -86,7 +88,22 @@ def replay_session(
     (review finding: the old set/restore used min(prev, 4), and a
     narrow box — e.g. SPARK_GRAFT_CPUS=1 → session width 1 — should
     not have its replays pay 4× the state-store open/commit count the
-    pin exists to minimize)."""
+    pin exists to minimize).
+
+    ``no_data_batches=False`` (r17, guide §1/§2 fixed-cost removal)
+    disables ``spark.sql.streaming.noDataMicroBatches.enabled`` on the
+    returned session: a bounded availableNow drain whose OUTPUT is not
+    watermark-gated (stream-stream INNER joins — matches emit when the
+    data arrives; watermarks there only bound state, which the drain
+    discards wholesale at stop) pays a full extra micro-batch cycle
+    (plan + 4×state-store open/commit + sink round-trip, measured
+    ~0.7-1.7 s on the sf0.1 watermarked flagship) purely to advance
+    the watermark and evict state nobody will read again. Callers
+    whose emission DOES ride the watermark (append-mode aggregations:
+    the session-window replay emits its closed sessions in exactly
+    that final no-data batch) must keep the default True — flipping
+    it there drops rows, which the oracle would catch as a hash
+    mismatch."""
     from ..session import apply_runtime_conf
 
     try:
@@ -100,7 +117,7 @@ def replay_session(
     app_id = spark.sparkContext.applicationId
     for stale in [k for k in _REPLAY_SESSIONS if k[0] != app_id]:
         del _REPLAY_SESSIONS[stale]
-    key = (app_id, width)
+    key = (app_id, width, no_data_batches)
     sess = _REPLAY_SESSIONS.get(key)
     if sess is None:
         sess = spark.newSession()
@@ -110,6 +127,10 @@ def replay_session(
         # place conf mutation belongs.
         apply_runtime_conf(sess)
         sess.conf.set("spark.sql.shuffle.partitions", str(width))
+        if not no_data_batches:
+            sess.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
         _REPLAY_SESSIONS[key] = sess
     return sess
 

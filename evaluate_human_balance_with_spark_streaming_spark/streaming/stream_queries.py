@@ -101,11 +101,20 @@ def _dup_ts_wire(spark: SparkSession, sf_dir: str) -> str:
     """ONE doubled-events wire serves both dedup queries:
     stream_dedup_exact reads it with a 3-column schema (parquet column
     pruning drops ts at the scan) while the within-watermark variant
-    reads all 4 — no second full materialization."""
+    reads all 4 — no second full materialization.
+
+    8 files read at 4 per trigger (r17; was 6 at 2): the replay drains
+    in 2 micro-batches of 4 parallel scan tasks instead of 3 batches
+    of 2 — one fewer round of per-batch machinery (plan + state
+    commit + offset/commit log) and twice the scan parallelism, while
+    duplicates still land in different batches (hash-spread over 8
+    files) so cross-batch dedup state is exercised exactly as before
+    (measured 1.35 → 1.03 s on the sf0.1 watermarked replay; results
+    identical by construction — dedup output is order-insensitive)."""
     slim_ts = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    return _materialize(slim_ts.union(slim_ts), f"dup-ts@{sf_dir}", 6)
+    return _materialize(slim_ts.union(slim_ts), f"dup-ts@{sf_dir}", 8)
 
 
 def prematerialize_wires(spark: SparkSession, sf_dir: str) -> None:
@@ -131,15 +140,22 @@ _WIRE_TS_SCHEMA = StructType(
 
 
 def _open_wire(
-    spark: SparkSession, path: str, schema: StructType = _WIRE_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: StructType = _WIRE_SCHEMA,
+    max_files_per_trigger: int = 2,
 ) -> DataFrame:
     """Open a materialized wire dir as a file *stream* (multiple
     micro-batches — a real replay, not a single-batch degenerate
-    case). Two files per trigger: still ≥2 batches of cross-batch
-    state per source, at half the per-batch fixed cost (measured
-    21s → 7s on the flagship join at sf0.1; per-batch granularity is
-    separately pinned by the streaming unit tests)."""
-    return stream_parquet_dir(spark, path, schema, max_files_per_trigger=2)
+    case). Two files per trigger by default: still ≥2 batches of
+    cross-batch state per source, at half the per-batch fixed cost
+    (measured 21s → 7s on the flagship join at sf0.1; per-batch
+    granularity is separately pinned by the streaming unit tests).
+    Callers with more wire files override the trigger width to keep
+    the batch count at 2-3 (see _dup_ts_wire / the session replay)."""
+    return stream_parquet_dir(
+        spark, path, schema, max_files_per_trigger=max_files_per_trigger
+    )
 
 
 @register(
@@ -210,8 +226,18 @@ def q_stream_flagship_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     tests/test_streaming.py). The wide watermark delay means the
     bounded replay emits every in-band match, so the relational band
     join is an exact oracle; risk event times are truncated to
-    milliseconds by the wire format, which the oracle replays."""
-    rs = replay_session(spark)
+    milliseconds by the wire format, which the oracle replays.
+
+    The replay session disables no-data micro-batches (r17): an INNER
+    stream-stream join emits every match the moment both rows have
+    arrived — the trailing no-data batch exists only to advance the
+    watermark and evict state, and a bounded drain discards that state
+    wholesale at stop. Skipping it removes a full per-batch machinery
+    cycle (measured 4.5 → 2.8 s at sf0.1, rows byte-identical; the
+    eviction machinery itself stays pinned by
+    tests/test_streaming.py's tight-watermark cases, which keep
+    no-data batches on)."""
+    rs = replay_session(spark, no_data_batches=False)
     redis_stream = _open_wire(
         rs, _cust_ts_wire(spark, sf_dir), _WIRE_TS_SCHEMA
     )
@@ -334,11 +360,24 @@ def q_stream_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel flush event (see _session_wire) advances the watermark at
     end-of-replay so every real session finalizes and APPENDS. Tight-
     watermark eviction mid-stream is pinned separately by
-    tests/test_streaming.py::test_streaming_session_window_emits_closed_session."""
+    tests/test_streaming.py::test_streaming_session_window_emits_closed_session.
+
+    Three files per trigger (r17): the 5-file wire (4 main + sentinel,
+    mtime-ordered) drains as {m1,m2,m3}, {m4, sentinel}, {no-data
+    emit} — the sentinel rides the LAST data batch instead of paying
+    its own 1-row micro-batch (measured 2.0 → 1.6 s at sf0.1).
+    Watermark semantics are unchanged: the watermark is advanced from
+    a batch's max event time only AFTER the batch completes, so the
+    sentinel cannot evict the main events it shares batch 2 with, and
+    the final no-data batch (which this replay MUST keep — it is
+    where every closed session is emitted in append mode) still sees
+    the fully-advanced watermark. Two data batches keep cross-batch
+    session-state merging exercised."""
     stream = _open_wire(
         replay_session(spark),
         _session_wire(spark, sf_dir),
         StructType.fromDDL("user_id bigint, ts timestamp"),
+        max_files_per_trigger=3,
     )
     sessions = (
         stream.withWatermark("ts", "90 days")
@@ -420,6 +459,7 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay_session(spark),
         _dup_ts_wire(spark, sf_dir),
         StructType.fromDDL("event_id bigint, user_id bigint, event_type string"),
+        max_files_per_trigger=4,
     )
     deduped = stream.dropDuplicates(["event_id"])
     return run_to_memory(deduped, output_mode="append")
@@ -455,6 +495,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         StructType.fromDDL(
             "event_id bigint, user_id bigint, event_type string, ts timestamp"
         ),
+        max_files_per_trigger=4,
     )
     deduped = (
         stream.withWatermark("ts", "365 days")
