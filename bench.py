@@ -1346,17 +1346,25 @@ def sweep_orphan_tmp(
             _replay_scratch_dir,
         )
 
-        sweep_dirs = [tempfile.gettempdir()]
+        # realpath-normalize before the duplicate-dir check (ADVICE
+        # r16): a TMPDIR that is an unnormalized or symlinked spelling
+        # of the scratch dir (e.g. '/dev/shm/') would otherwise be
+        # scanned twice and the second rmtree pass over already-deleted
+        # entries would inflate the 'errors' count.
+        sweep_dirs = [os.path.realpath(tempfile.gettempdir())]
         scratch = _replay_scratch_dir()
-        if scratch and scratch not in sweep_dirs:
-            sweep_dirs.append(scratch)
+        if scratch and os.path.realpath(scratch) not in sweep_dirs:
+            sweep_dirs.append(os.path.realpath(scratch))
     tmp_dir = ", ".join(sweep_dirs)
     now = time.time() if now is None else now
     out = {"swept": 0, "kept": 0, "errors": 0}
     entries = []
     for d in sweep_dirs:
         try:
-            entries.extend(os.scandir(d))
+            # `with` closes the scandir iterator promptly (ADVICE r16:
+            # extend() alone left the directory fd open until GC).
+            with os.scandir(d) as it:
+                entries.extend(it)
         except OSError:
             # Still emit the evidence line (review r11: the early return
             # skipped it, so an enabled-but-failed sweep looked like one

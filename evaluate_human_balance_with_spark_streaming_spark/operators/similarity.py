@@ -117,6 +117,17 @@ def ivf_topk(
     32-task shuffle + 32-block persist per stage (~0.3 s of pure task
     launch at bench scale). At cluster scale big files split naturally
     either way.
+
+    r17 examined and REVERTED (measured, interleaved same-process A/B
+    at sf0.1): collapsing the assignment's crossJoin+row_number Window
+    into a one-row all-centroids broadcast with per-query
+    transform + array_sort(comparator) + slice removed the Window's
+    exchange+sort and one broadcast build, but ran ~6% SLOWER
+    (old 0.75/0.73 s vs new 0.80/0.77 s for n_probe 1/2) — the
+    interpreted comparator lambda and nested per-struct fold cost more
+    than the tiny windowed shuffle they replaced, the same
+    interpreted-HOF tax minhash_signatures documents. The oracle was
+    green under both shapes; the Window form is kept.
     """
     from ..functions.vectors import dot_product, l2_norm
 

@@ -285,7 +285,12 @@ def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical — but the leading p_user key lets the Window reuse the
     # join's hash(user) partitioning instead of re-exchanging the
     # join's FAN-OUT output (the largest intermediate in this plan) by
-    # purchase_id. One exchange removed at any scale.
+    # purchase_id. At sf0.1 the join broadcasts and the plans are
+    # shape-identical either way; the exchange elision is a
+    # NON-BROADCAST-regime property, demonstrated by the committed
+    # forced-SMJ explain (plans/r17/q_asof_click_before_purchase_
+    # smj_regime.txt: no Exchange between SortMergeJoin (11) and
+    # Window (15) — the Window's Sort rides hashpartitioning(p_user)).
     w = Window.partitionBy("p_user", "purchase_id").orderBy(
         F.col("c_ts").desc(), F.col("click_id").desc()
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import tempfile
 import uuid
 
@@ -49,7 +50,22 @@ def _replay_scratch_dir() -> str | None:
     override = os.environ.get("SPARK_GRAFT_REPLAY_SCRATCH")
     for cand in ([override] if override else []) + ["/dev/shm"]:
         if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
+            if override and cand != override:
+                # ADVICE r16: an operator pointing replays at
+                # cluster-local SSD must hear that the override was
+                # rejected, not silently get RAM-backed scratch.
+                print(
+                    f"# replay scratch override {override!r} is not a "
+                    f"writable directory; falling back to {cand!r}",
+                    file=sys.stderr,
+                )
             return cand
+    if override:
+        print(
+            f"# replay scratch override {override!r} is not a writable "
+            "directory; falling back to the system tempdir",
+            file=sys.stderr,
+        )
     return None
 
 # One replay session per (SparkContext, width): newSession() would

@@ -41,6 +41,16 @@ def main() -> int:
     _ensure_loaded()
     if len(sys.argv) > 3:
         names = sys.argv[3:]
+        # Validate BEFORE building the Spark session (ADVICE r16: a
+        # typo used to crash with a bare KeyError after session init).
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            print(
+                f"unknown queries: {', '.join(unknown)}\navailable: "
+                + ", ".join(sorted(QUERIES)),
+                file=sys.stderr,
+            )
+            return 2
     else:
         import bench
 
