@@ -930,16 +930,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
       within each round, extra map-sized joins the adversarial chain
       shape doesn't arise often enough in dedup graphs to justify.
 
-    The input `pairs` plan is evaluated ONCE — checkpointed BEFORE
-    symmetrization, so the union reads the materialized blocks twice
+    The input `pairs` plan is evaluated ONCE — persisted BEFORE
+    symmetrization (one persist+count job sizes the first round and
+    materializes the cache), so the union reads cached blocks twice
     instead of running the (expensive, typically LSH) candidate
-    pipeline twice. Each round's frames are localCheckpointed: eager
-    materialization replaces the plan with a scan of those blocks, so
-    round k's plan does not nest rounds 1..k-1 (measured ~1.5-2s of
-    pure PLANNING per round otherwise); the ContextCleaner frees
-    dropped rounds' blocks. On a multi-executor cluster prefer
-    reliable checkpoint() to an HDFS dir — same lineage-truncation
-    role with fault tolerance.
+    pipeline twice. Each ROUND materializes exactly one frame (r17):
+    the relabeled mapping and the contracted edges as a tagged union
+    behind a lazy ``localCheckpoint(eager=False)`` — the checkpoint
+    truncates the logical plan at call time (round k's plan does not
+    nest rounds 1..k-1; measured ~1.5-2 s of pure PLANNING per round
+    otherwise, and a persist-only barrier OOMs a long chain — see the
+    loop comment), and the convergence count is the single job that
+    computes + pins the blocks. The ContextCleaner frees dropped
+    rounds' blocks. On a multi-executor cluster prefer reliable
+    checkpoint() to an HDFS dir — same lineage-truncation role with
+    fault tolerance. Rounds whose working set fits a broadcast (every
+    graph's endgame; the whole graph at near-dup scale) switch the
+    merge-map joins to broadcast — see _CC_BROADCAST_EDGES.
 
     Near-dup pair graphs are orders of magnitude smaller than the
     corpus, so at the session's default width each tiny round would
@@ -954,7 +961,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     the global pin would silently re-plan any concurrently built
     query at width 4). What w physically controls is the round's
     MATERIALIZED BLOCK COUNT (the final ``repartition(w, src)`` before
-    each checkpoint) — i.e. the map-side task count of every exchange
+    each checkpoint, and the shuffle-free ``coalesce(w)`` on the
+    symmetrize plan) — i.e. the map-side task count of every exchange
     in the next round; the joins' reducer widths plan at the session
     width and AQE coalesces them to the data at run time (see
     _cc_merge_map's width-reality note — a user repartition under a
@@ -1140,10 +1148,10 @@ def q_dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components — the step that turns pairwise matches into
     keep-one-per-group dedup decisions. The oracle replays the whole
     pipeline including the graph closure (recursive CTE)."""
-    # No persist wrapper: connected_components consumes the pair set
-    # exactly once, via an eager localCheckpoint that materializes it
-    # as the edge blocks — a cache here would hold a dead second copy
-    # in executor memory until release (review finding).
+    # No persist wrapper: connected_components persists the projected
+    # pair set itself (its one consumer) — a cache here would hold a
+    # dead second copy in executor memory until release (review
+    # finding).
     pairs = minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "text",
