@@ -150,6 +150,33 @@ def test_edge_whitespace_emits_no_empty_tokens(spark):
     assert list(duck) == ["foo", "bar"]
 
 
+def test_simhash_signatures_swar_guard_raises_on_oversized_doc(spark):
+    """r17: the SWAR lane-packed aggregate (8 bigint sums of four
+    15-bit lanes) is bit-identical to the 32-counter form ONLY while
+    no per-doc bit count exceeds a lane — docs are capped at 32767
+    tokens and a longer doc must fail LOUDLY (silently overflowing a
+    lane would corrupt signatures, the worst failure mode). Bit
+    identity itself is pinned by the shared-twin property fuzz
+    (test_property_fuzz.py)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from evaluate_human_balance_with_spark_streaming_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(64)))], "doc_id long, text string"
+    )
+    assert simhash_signatures(ok, "text", "doc_id").count() == 1
+    big = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(32768)))], "doc_id long, text string"
+    )
+    with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+        simhash_signatures(big, "text", "doc_id").collect()
+    assert "32767" in str(exc.value)
+
+
 def test_simhash32_ignores_null_tokens(spark):
     """A null array element must be IGNORED, matching the batch twin's
     explode + aggregate path (SQL aggregates skip nulls) — the

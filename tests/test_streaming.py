@@ -531,6 +531,30 @@ def test_stream_session_quality_matches_batch_and_sentinel_never_leaks(
     assert all(uid >= 0 for uid, _ in streamed)
 
 
+def test_replay_session_no_data_batches_flag_is_keyed_and_isolated(spark):
+    """r17: ``no_data_batches=False`` must yield a DISTINCT cached
+    session with the conf pinned at construction, leaving both the
+    default replay session and the caller untouched — the watermarked
+    flagship replay skips its trailing no-data batch, while the
+    session-window replay (whose append emission happens IN that
+    batch) keeps the default."""
+    from evaluate_human_balance_with_spark_streaming_spark.streaming.runner import (
+        replay_session,
+    )
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    rs_default = replay_session(spark)
+    rs_nodata = replay_session(spark, no_data_batches=False)
+    assert rs_nodata is not rs_default
+    assert rs_nodata.conf.get(key) == "false"
+    # Default replay session and caller keep Spark's default (true).
+    assert rs_default.conf.get(key).lower() == "true"
+    assert spark.conf.get(key).lower() == "true"
+    # Both flavors are cached independently.
+    assert replay_session(spark, no_data_batches=False) is rs_nodata
+    assert replay_session(spark) is rs_default
+
+
 def test_replay_session_isolates_conf_from_caller(spark):
     """VERDICT r05 item 4: replays run on an isolated ``newSession``
     with the small replay width pinned at construction — the caller's
