@@ -982,14 +982,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # Auto-tuning platforms report a non-numeric value (e.g.
         # "auto"); fall back to the cluster's physical parallelism.
         session_w = spark.sparkContext.defaultParallelism
-    # persist + count (r17): ONE job materializes the pair set AND
-    # sizes the first round — localCheckpoint + count was two. The
-    # cache is registered with the managed lifecycle (freed after the
-    # consuming query evaluates); lineage stays bounded (one candidate
-    # pipeline behind an InMemoryRelation barrier, never re-run).
-    cp = managed_persist(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    )
+    # Lazy localCheckpoint + count (r17): ONE job materializes the
+    # pair set AND sizes the first round — the old eager checkpoint +
+    # count was two. eager=False still TRUNCATES the logical plan at
+    # call time (the returned frame scans the to-be-checkpointed RDD),
+    # which matters twice here: the candidate pipeline never re-runs,
+    # and every round's plan bottoms out at a LogicalRDD leaf instead
+    # of re-analyzing the full LSH plan (a persist barrier was tried
+    # and reverted — its InMemoryRelation keeps the whole candidate
+    # plan inside every round's analysis, measured ~0.5 s/round of
+    # extra planning on the sf0.1 clusters query).
+    cp = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=False)
     n_edges = 2 * cp.count()
     w = _cc_width(n_edges, session_w)
     # Symmetrize so every node with any edge appears as src (m(u) reads
