@@ -930,9 +930,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
       within each round, extra map-sized joins the adversarial chain
       shape doesn't arise often enough in dedup graphs to justify.
 
-    The input `pairs` plan is evaluated ONCE — persisted BEFORE
-    symmetrization (one persist+count job sizes the first round and
-    materializes the cache), so the union reads cached blocks twice
+    The input `pairs` plan is evaluated ONCE — lazily localCheckpointed
+    BEFORE symmetrization (the sizing count is the job that
+    materializes the blocks), so the union reads those blocks twice
     instead of running the (expensive, typically LSH) candidate
     pipeline twice. Each ROUND materializes exactly one frame (r17):
     the relabeled mapping and the contracted edges as a tagged union
