@@ -488,9 +488,17 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     this row certifies the operator's dedup semantics across batches
     through the driver. ts is projected away post-dedup: the oracle
     compares identity columns (raw nanos-precision timestamps don't
-    round-trip the driver's pandas fetch)."""
+    round-trip the driver's pandas fetch).
+
+    no_data_batches=False (r17): append-mode dedup emits a first-seen
+    row in the batch it arrives — the watermark only EVICTS state, so
+    the trailing no-data batch (which appeared once the wire packed
+    into 2 data triggers) is a pure machinery cycle for a bounded
+    drain; skipping it keeps the replay at exactly 2 micro-batches.
+    Same reasoning as the watermarked flagship; eviction semantics
+    stay pinned by tests/test_streaming.py's tight-watermark case."""
     stream = _open_wire(
-        replay_session(spark),
+        replay_session(spark, no_data_batches=False),
         _dup_ts_wire(spark, sf_dir),
         StructType.fromDDL(
             "event_id bigint, user_id bigint, event_type string, ts timestamp"
